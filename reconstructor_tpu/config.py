@@ -1,0 +1,93 @@
+r"""Configuration for the TPU SfM engine.
+
+The reference hardcodes every knob as enums, ``#define``\ s and member
+defaults scattered over headers (SURVEY.md §5 "Config / flag system"); this
+module lifts all of them into one dataclass so a single object drives the
+whole pipeline. Default values replicate the reference's:
+
+- ``img_max_size=512``               SequentialReconstructor.h:246
+- ``focal_length_factor=1.2``        SequentialReconstructor.h:261
+- ``max_projection_error=4.0``       SequentialReconstructor.h:256
+- ``min_triangulation_angle=1.0``    SequentialReconstructor.h:257
+- ``min_2d3d_match_num=30``          SequentialReconstructor.h:240
+- ``ranking_mode='density'``         SequentialReconstructor.h:237
+- ``ratio_thresh=0.7``               FeatureMatcher.h:45
+- ``superpoint_conf_thresh=0.015``   FeatureSuperPoint.h:28-30
+- ``superpoint_nms_radius=4``        FeatureSuperPoint.cpp:18
+- ``superpoint_border=4``            FeatureSuperPoint.cpp:76
+- ``superglue_score_thresh=0.5``     FeatureMatcherSuperglue.h:25
+- PnP budget 10000 iters / 4.0 px / 0.99 conf
+                                     SequentialReconstructor.cpp:591-597
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class ReconstructorConfig:
+    # ---- image preprocessing -------------------------------------------
+    img_max_size: int = 512          # cap on max image side before detection
+    # Focal priors: if focal_px is set it is used directly (Camera.h:18-27);
+    # otherwise colmap-style f = factor * max(h, w) (Camera.h:45-54).
+    focal_px: Optional[float] = None
+    focal_length_factor: float = 1.2
+
+    # ---- feature detection ---------------------------------------------
+    detector: str = "sift"           # "sift" | "superpoint"
+    max_keypoints: int = 2048        # fixed per-image keypoint capacity
+    sift_num_octaves: int = 4
+    sift_scales_per_octave: int = 3
+    sift_contrast_thresh: float = 0.015
+    sift_edge_thresh: float = 10.0
+    superpoint_conf_thresh: float = 0.015
+    superpoint_nms_radius: int = 4
+    superpoint_border: int = 4
+
+    # ---- matching -------------------------------------------------------
+    matcher: str = "knn"             # "knn" (FLANN equivalent) | "superglue"
+    ratio_thresh: float = 0.7        # Lowe ratio test
+    cross_check: bool = True         # mutual-nearest constraint
+    superglue_score_thresh: float = 0.5
+    superglue_sinkhorn_iters: int = 100
+    min_matches_for_filter: int = 7  # need >=7 for F estimation
+
+    # ---- geometric verification ----------------------------------------
+    fundamental_thresh_px: float = 3.0   # cv::findFundamentalMat default
+    essential_thresh_px: float = 1.0     # cv::findEssentialMat default
+    ransac_num_hypotheses: int = 2048    # fixed batched hypothesis budget
+    ransac_confidence: float = 0.99
+
+    # ---- incremental engine ---------------------------------------------
+    max_projection_error: float = 4.0    # L1 |du|+|dv| gate, px
+    min_triangulation_angle: float = 1.0 # degrees
+    min_2d3d_match_num: int = 30
+    ranking_mode: str = "density"        # "density" | "total"
+    ranking_grid: int = 32               # 32x32 occupancy cells
+    pnp_num_hypotheses: int = 2048
+    pnp_refine_iters: int = 10
+
+    # ---- bundle adjustment ----------------------------------------------
+    ba_max_iters_small: int = 150        # <10 cameras (BundleAdjuster.cpp:135)
+    ba_max_iters_large: int = 50
+    ba_intrinsics_free_min_cams: int = 10
+    ba_focal_upper_bound: float = 1000.0
+    ba_init_lambda: float = 1e-3
+    ba_lambda_up: float = 4.0
+    ba_lambda_down: float = 2.0
+    ba_ftol: float = 1e-8
+
+    # ---- capacities (fixed shapes for jit) ------------------------------
+    max_landmarks: int = 65536
+    max_observations: int = 262144
+
+    # ---- parallelism -----------------------------------------------------
+    mesh_axis: str = "shard"          # mesh axis name for pair/obs sharding
+
+    # ---- numerics --------------------------------------------------------
+    dtype: str = "float32"
+
+    def with_(self, **kwargs) -> "ReconstructorConfig":
+        return dataclasses.replace(self, **kwargs)

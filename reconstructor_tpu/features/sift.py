@@ -1,0 +1,286 @@
+"""Classic (DoG/SIFT-style) feature detection as one batched TPU program.
+
+Capability parity with the reference's ``FeatureClassic`` (OpenCV SIFT,
+FeatureDetector.cpp:13-35), re-designed for TPU rather than translated:
+
+- The Gaussian / DoG scale-space is built with separable depthwise
+  convolutions over the *whole image batch at once* — (N, S, H, W) tensors
+  instead of OpenCV's per-image pyramid of mats. XLA fuses the blur chain;
+  the MXU sees the convolutions.
+- Extrema detection, contrast/edge gating, orientation assignment and
+  descriptor sampling are all fixed-shape masked array ops: every image
+  yields exactly ``max_keypoints`` slots with a validity mask (the
+  fixed-capacity layout that SURVEY.md §7 calls the foundational design
+  decision).
+- Instead of per-octave downsampling (ragged shapes), scale space is built
+  at full resolution with geometrically increasing sigmas. That trades
+  some FLOPs for perfectly static shapes — the TPU-friendly choice at the
+  <=512 px working resolution the pipeline uses (img_max_size=512).
+- The descriptor is the classic 4x4 spatial x 8 orientation histogram
+  (128-d), computed with gather-free bilinear weighting over a fixed
+  16x16 patch, vmapped over keypoints. L2-normalized, 0.2-clipped,
+  renormalized as in Lowe's paper (and OpenCV).
+
+Output coordinate convention matches the reference: (x, y) pixel
+coordinates in the resized image, integer-valued (the reference keeps int
+coords via FeatCoord<int>, datatypes.h:12-25).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class Features(NamedTuple):
+    """Fixed-capacity per-image feature set (batched over leading dim)."""
+    xy: jnp.ndarray       # (..., K, 2) float32 — (x, y) pixel coords
+    scale: jnp.ndarray    # (..., K) float32 — detection sigma
+    score: jnp.ndarray    # (..., K) float32 — |DoG| response
+    desc: jnp.ndarray     # (..., K, 128) float32 — L2-normalized descriptor
+    mask: jnp.ndarray     # (..., K) bool
+
+
+def gaussian_kernel1d(sigma: float, radius: int, dtype=jnp.float32) -> jnp.ndarray:
+    x = jnp.arange(-radius, radius + 1, dtype=dtype)
+    k = jnp.exp(-0.5 * (x / sigma) ** 2)
+    return k / jnp.sum(k)
+
+
+def gaussian_blur(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
+    """Separable Gaussian blur of an (N, H, W) batch."""
+    radius = max(1, int(math.ceil(3.0 * sigma)))
+    k = gaussian_kernel1d(sigma, radius, img.dtype)
+    img4 = img[:, None]  # (N, 1, H, W)
+    kh = k.reshape(1, 1, 1, -1)
+    kv = k.reshape(1, 1, -1, 1)
+    out = jax.lax.conv_general_dilated(img4, kh, (1, 1), [(0, 0), (radius, radius)])
+    out = jax.lax.conv_general_dilated(out, kv, (1, 1), [(radius, radius), (0, 0)])
+    return out[:, 0]
+
+
+def build_scale_space(img: jnp.ndarray, num_scales: int, sigma0: float = 1.6,
+                      scales_per_octave: int = 3):
+    """(N, H, W) -> gaussians (N, S, H, W) and sigmas (S,).
+
+    sigma_i = sigma0 * 2^(i / scales_per_octave); each level is blurred
+    incrementally from the previous (small kernels, XLA-fusable).
+    """
+    sigmas = [sigma0 * (2.0 ** (i / scales_per_octave)) for i in range(num_scales)]
+    levels = [gaussian_blur(img, sigmas[0])]
+    for i in range(1, num_scales):
+        inc = math.sqrt(max(sigmas[i] ** 2 - sigmas[i - 1] ** 2, 1e-6))
+        levels.append(gaussian_blur(levels[-1], inc))
+    return jnp.stack(levels, axis=1), jnp.asarray(sigmas, img.dtype)
+
+
+def _neighborhood_extrema(dog: jnp.ndarray) -> jnp.ndarray:
+    """26-neighborhood extremum test over the (N, S, H, W) DoG volume.
+
+    Returns bool (N, S-2, H, W) for the interior scales. A voxel is an
+    extremum when it equals the max (or min) of its full 3x3x3
+    neighborhood; ties are broken by the spatial NMS pass afterwards.
+    Implemented as separable 3x3 spatial pools + a 3-scale reduction —
+    pure VPU work, no gathers.
+    """
+    def pool3x3(x, op):
+        cv = -jnp.inf if op is jnp.maximum else jnp.inf
+        pad = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (1, 1)), constant_values=cv)
+        rows = op(op(pad[:, :, :-2, 1:-1], pad[:, :, 1:-1, 1:-1]), pad[:, :, 2:, 1:-1])
+        padr = jnp.pad(rows, ((0, 0), (0, 0), (0, 0), (1, 1)), constant_values=cv)
+        return op(op(padr[:, :, :, :-2], padr[:, :, :, 1:-1]), padr[:, :, :, 2:])
+
+    mx = pool3x3(dog, jnp.maximum)
+    mn = pool3x3(dog, jnp.minimum)
+    nb_max = jnp.maximum(jnp.maximum(mx[:, :-2], mx[:, 1:-1]), mx[:, 2:])
+    nb_min = jnp.minimum(jnp.minimum(mn[:, :-2], mn[:, 1:-1]), mn[:, 2:])
+    center = dog[:, 1:-1]
+    is_max = (center >= nb_max) & (center > 0)
+    is_min = (center <= nb_min) & (center < 0)
+    return is_max | is_min
+
+
+def _edge_response_ok(dog_level: jnp.ndarray, edge_thresh: float) -> jnp.ndarray:
+    """Hessian-ratio edge rejection (Lowe §4.1): tr^2/det < (r+1)^2/r."""
+    d = dog_level
+    dxx = d[:, :, 2:] + d[:, :, :-2] - 2 * d[:, :, 1:-1]
+    dxx = jnp.pad(dxx, ((0, 0), (0, 0), (1, 1)))
+    dyy = d[:, 2:, :] + d[:, :-2, :] - 2 * d[:, 1:-1, :]
+    dyy = jnp.pad(dyy, ((0, 0), (1, 1), (0, 0)))
+    dxy = (d[:, 2:, 2:] - d[:, 2:, :-2] - d[:, :-2, 2:] + d[:, :-2, :-2]) / 4.0
+    dxy = jnp.pad(dxy, ((0, 0), (1, 1), (1, 1)))
+    tr = dxx + dyy
+    det = dxx * dyy - dxy * dxy
+    r = edge_thresh
+    return (det > 0) & (tr * tr * r < (r + 1.0) ** 2 * det)
+
+
+def detect_keypoints(gray: jnp.ndarray, shapes: jnp.ndarray, max_keypoints: int,
+                     num_scales: int = 5, contrast_thresh: float = 0.015,
+                     edge_thresh: float = 10.0, border: int = 8):
+    """Batched DoG keypoint detection.
+
+    gray: (N, H, W) float32 in [0,1]; shapes: (N, 2) valid (h, w) per image.
+    Returns (xy (N,K,2) int-valued float, scale (N,K), score (N,K),
+    mask (N,K), gaussians (N,S,H,W), sigmas (S,)).
+    """
+    N, H, W = gray.shape
+    gauss, sigmas = build_scale_space(gray, num_scales)
+    dog = gauss[:, 1:] - gauss[:, :-1]            # (N, S-1, H, W)
+
+    extrema = _neighborhood_extrema(dog)          # (N, S-3, H, W)
+    contrast_ok = jnp.abs(dog[:, 1:-1]) > contrast_thresh
+    edge_ok = jax.vmap(lambda d: _edge_response_ok(d, edge_thresh), in_axes=1, out_axes=1)(dog[:, 1:-1])
+    cand = extrema & contrast_ok & edge_ok        # (N, Si, H, W)
+
+    # mask borders and padding
+    ys = jnp.arange(H)[None, None, :, None]
+    xs = jnp.arange(W)[None, None, None, :]
+    h_valid = shapes[:, 0][:, None, None, None]
+    w_valid = shapes[:, 1][:, None, None, None]
+    in_bounds = (ys >= border) & (ys < h_valid - border) & (xs >= border) & (xs < w_valid - border)
+    cand = cand & in_bounds
+
+    score_vol = jnp.where(cand, jnp.abs(dog[:, 1:-1]), 0.0)
+
+    # 3x3 spatial NMS within each scale, then flatten and take global top-K.
+    pad = jnp.pad(score_vol, ((0, 0), (0, 0), (1, 1), (1, 1)))
+    rows = jnp.maximum(jnp.maximum(pad[:, :, :-2, :], pad[:, :, 1:-1, :]), pad[:, :, 2:, :])
+    local_max = jnp.maximum(jnp.maximum(rows[:, :, :, :-2], rows[:, :, :, 1:-1]), rows[:, :, :, 2:])
+    score_vol = jnp.where(score_vol >= local_max, score_vol, 0.0)
+
+    Si = score_vol.shape[1]
+    flat = score_vol.reshape(N, -1)
+    scores, idx = jax.lax.top_k(flat, max_keypoints)     # (N, K)
+    s_idx = idx // (H * W)
+    y_idx = (idx % (H * W)) // W
+    x_idx = idx % W
+    mask = scores > 0
+    xy = jnp.stack([x_idx, y_idx], axis=-1).astype(gray.dtype)
+    # detection sigma: interior DoG scale i corresponds to sigma[i+1]
+    scale = sigmas[s_idx + 1]
+    return xy, scale, scores, mask, gauss, sigmas, s_idx + 1
+
+
+def _descriptor_at(gauss_level: jnp.ndarray, xy: jnp.ndarray, sigma: jnp.ndarray,
+                   patch_radius: int = 8):
+    """128-d SIFT descriptor at one keypoint from its Gaussian level.
+
+    Gradient orientations are binned into a 4x4 grid of 8-bin histograms
+    over a (2R)x(2R) patch scaled by the keypoint sigma, with bilinear
+    spatial weighting and a Gaussian window — the classic formulation,
+    computed densely (no gathers beyond one dynamic patch slice).
+    Orientation invariance: a dominant orientation is first estimated from
+    a 36-bin histogram and all gradients are rotated by it.
+    """
+    H, W = gauss_level.shape
+    R = patch_radius
+    P = 2 * R  # 16x16 sample grid
+
+    # sample grid in pixel units, scaled with sigma (3 px per bin at sigma=1.6)
+    spacing = sigma * 3.0 / 1.6 / 2.0
+    offs = (jnp.arange(P, dtype=jnp.float32) - (P - 1) / 2.0) * spacing
+    gy, gx = jnp.meshgrid(offs, offs, indexing="ij")
+
+    def sample(img, ys, xs):
+        y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, H - 2)
+        x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, W - 2)
+        fy = ys - y0
+        fx = xs - x0
+        v00 = img[y0, x0]
+        v01 = img[y0, x0 + 1]
+        v10 = img[y0 + 1, x0]
+        v11 = img[y0 + 1, x0 + 1]
+        return (v00 * (1 - fy) * (1 - fx) + v01 * (1 - fy) * fx
+                + v10 * fy * (1 - fx) + v11 * fy * fx)
+
+    ys = xy[1] + gy
+    xs = xy[0] + gx
+    # central-difference gradients via 4 bilinear samples
+    dx = sample(gauss_level, ys, xs + 1.0) - sample(gauss_level, ys, xs - 1.0)
+    dy = sample(gauss_level, ys + 1.0, xs) - sample(gauss_level, ys - 1.0, xs)
+    mag = jnp.sqrt(dx * dx + dy * dy + 1e-12)
+    ang = jnp.arctan2(dy, dx)                                  # [-pi, pi]
+
+    # --- dominant orientation (36-bin histogram, Gaussian-weighted) ------
+    w_orient = jnp.exp(-(gx ** 2 + gy ** 2) / (2.0 * (1.5 * sigma * 3.0) ** 2))
+    bins36 = jnp.floor((ang + jnp.pi) / (2 * jnp.pi) * 36).astype(jnp.int32) % 36
+    hist36 = jnp.zeros((36,), mag.dtype).at[bins36.reshape(-1)].add((mag * w_orient).reshape(-1))
+    # smooth circularly
+    hist36 = (jnp.roll(hist36, 1) + hist36 + jnp.roll(hist36, -1)) / 3.0
+    theta0 = (jnp.argmax(hist36).astype(mag.dtype) + 0.5) / 36.0 * 2 * jnp.pi - jnp.pi
+
+    ang_rel = ang - theta0
+    # rotate sample offsets into the keypoint frame for spatial binning
+    cos0, sin0 = jnp.cos(-theta0), jnp.sin(-theta0)
+    rx = (gx * cos0 - gy * sin0) / jnp.maximum(spacing, 1e-6)
+    ry = (gx * sin0 + gy * cos0) / jnp.maximum(spacing, 1e-6)
+
+    # --- 4x4 x 8 histogram with bilinear weights -------------------------
+    # cell coords in [0, 4): patch spans 16 samples -> 4 samples per cell
+    cx = rx / 4.0 + 1.5 + 0.5  # sample at rx in [-8, 8] -> cell coord ~[0,4)
+    cy = ry / 4.0 + 1.5 + 0.5
+    ob = (ang_rel + 2 * jnp.pi) % (2 * jnp.pi) / (2 * jnp.pi) * 8.0
+
+    w_desc = jnp.exp(-(rx ** 2 + ry ** 2) / (2.0 * 8.0 ** 2)) * mag
+
+    cx0 = jnp.floor(cx - 0.5)
+    cy0 = jnp.floor(cy - 0.5)
+    ob0 = jnp.floor(ob)
+
+    desc = jnp.zeros((4, 4, 8), mag.dtype)
+    for dyb in (0, 1):
+        for dxb in (0, 1):
+            for dob in (0, 1):
+                yb = cy0 + dyb
+                xb = cx0 + dxb
+                ob_i = (ob0 + dob) % 8
+                wy = 1.0 - jnp.abs(cy - 0.5 - yb)
+                wx = 1.0 - jnp.abs(cx - 0.5 - xb)
+                wo = 1.0 - jnp.abs(ob - ob0 - dob)
+                w = w_desc * jnp.clip(wy, 0, 1) * jnp.clip(wx, 0, 1) * jnp.clip(wo, 0, 1)
+                valid = (yb >= 0) & (yb < 4) & (xb >= 0) & (xb < 4)
+                w = jnp.where(valid, w, 0.0)
+                yb_i = jnp.clip(yb.astype(jnp.int32), 0, 3)
+                xb_i = jnp.clip(xb.astype(jnp.int32), 0, 3)
+                flatidx = (yb_i * 4 + xb_i) * 8 + ob_i.astype(jnp.int32)
+                desc = desc.reshape(-1).at[flatidx.reshape(-1)].add(w.reshape(-1)).reshape(4, 4, 8)
+
+    v = desc.reshape(-1)
+    v = v / jnp.maximum(jnp.linalg.norm(v), 1e-12)
+    v = jnp.minimum(v, 0.2)
+    v = v / jnp.maximum(jnp.linalg.norm(v), 1e-12)
+    return v
+
+
+def compute_descriptors(gauss: jnp.ndarray, xy: jnp.ndarray, scale_idx: jnp.ndarray,
+                        sigmas: jnp.ndarray) -> jnp.ndarray:
+    """Descriptors for one image's keypoints. gauss: (S, H, W);
+    xy (K, 2); scale_idx (K,) int. Returns (K, 128)."""
+    def one(kp_xy, s_idx):
+        level = gauss[s_idx]
+        return _descriptor_at(level, kp_xy, sigmas[s_idx])
+    return jax.vmap(one)(xy, scale_idx)
+
+
+@functools.partial(jax.jit, static_argnames=("max_keypoints", "num_scales",
+                                             "contrast_thresh", "edge_thresh"))
+def detect_and_describe(gray: jnp.ndarray, shapes: jnp.ndarray,
+                        max_keypoints: int = 2048, num_scales: int = 5,
+                        contrast_thresh: float = 0.015,
+                        edge_thresh: float = 10.0) -> Features:
+    """The full classic frontend: (N, H, W) batch -> Features.
+
+    One jitted program: scale space, extrema, top-K selection and
+    descriptor extraction all run on-device; the host only sees the final
+    fixed-shape Features pytree.
+    """
+    xy, scale, score, mask, gauss, sigmas, s_idx = detect_keypoints(
+        gray, shapes, max_keypoints, num_scales, contrast_thresh, edge_thresh)
+    desc = jax.vmap(compute_descriptors, in_axes=(0, 0, 0, None))(gauss, xy, s_idx, sigmas)
+    desc = desc * mask[..., None]
+    return Features(xy=xy, scale=scale, score=score, desc=desc, mask=mask)

@@ -1,0 +1,203 @@
+"""Epipolar geometry: fundamental/essential estimation and pose recovery.
+
+Capability parity with the reference's ``GeometricFilter``
+(GeometricFilter.cpp:10-61, backed by OpenCV RANSAC) and
+``essentialMatToPose``/``cv::recoverPose``
+(SequentialReconstructor.cpp:284-317), rebuilt as batched fixed-shape JAX:
+
+- 8-point linear estimation with Hartley normalization as the minimal
+  solver, run as a ``vmap`` over thousands of hypotheses at once
+  (see geometry.ransac for why the fixed-budget design replaces OpenCV's
+  adaptive loop).
+- Sampson distance scoring over all correspondences per hypothesis — one
+  (H, N) batched computation.
+- Essential-matrix pose recovery testing all four (R, t) decompositions by
+  batched two-view triangulation and cheirality counting, identical in
+  effect to cv::recoverPose.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from reconstructor_tpu.geometry import camera as cam
+from reconstructor_tpu.geometry import se3, ransac, triangulation
+
+
+def _normalize_points(pts: jnp.ndarray):
+    """Hartley normalization: zero centroid, mean distance sqrt(2).
+
+    pts: (N, 2). Returns (pts_norm, T 3x3) with p_norm = T @ p_h.
+    """
+    centroid = jnp.mean(pts, axis=0)
+    d = jnp.linalg.norm(pts - centroid, axis=-1)
+    scale = jnp.sqrt(2.0) / jnp.maximum(jnp.mean(d), 1e-12)
+    T = jnp.array([[1.0, 0.0, -centroid[0]],
+                   [0.0, 1.0, -centroid[1]],
+                   [0.0, 0.0, 1.0]], dtype=pts.dtype)
+    T = T.at[0].multiply(scale).at[1].multiply(scale).at[2, 2].set(1.0)
+    pts_n = (pts - centroid) * scale
+    return pts_n, T
+
+
+def _eight_point(pts1: jnp.ndarray, pts2: jnp.ndarray,
+                 rank2_project: bool, essential: bool) -> jnp.ndarray:
+    """Linear 8-point solve for F (or E) from (S, 2) correspondences.
+
+    Returns a 3x3 matrix such that x2^T M x1 = 0. Uses the nullspace of the
+    9x9 normal matrix (eigh) — batches far better on TPU than a tall SVD.
+    """
+    p1n, T1 = _normalize_points(pts1)
+    p2n, T2 = _normalize_points(pts2)
+    x1, y1 = p1n[:, 0], p1n[:, 1]
+    x2, y2 = p2n[:, 0], p2n[:, 1]
+    ones = jnp.ones_like(x1)
+    A = jnp.stack([x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, ones], axis=-1)
+    _, vecs = jnp.linalg.eigh(A.T @ A)
+    M = vecs[:, 0].reshape(3, 3)
+    M = T2.T @ M @ T1
+    if rank2_project:
+        U, S, Vt = jnp.linalg.svd(M)
+        if essential:
+            s = (S[0] + S[1]) / 2.0
+            S = jnp.array([s, s, 0.0], dtype=M.dtype)
+        else:
+            S = S.at[2].set(0.0)
+        M = (U * S[None, :]) @ Vt
+    return M / jnp.maximum(jnp.linalg.norm(M), 1e-12)
+
+
+def sampson_distance(M: jnp.ndarray, pts1: jnp.ndarray, pts2: jnp.ndarray) -> jnp.ndarray:
+    """First-order geometric (Sampson) distance, (N,) given (N, 2) points."""
+    p1 = jnp.concatenate([pts1, jnp.ones_like(pts1[:, :1])], axis=-1)
+    p2 = jnp.concatenate([pts2, jnp.ones_like(pts2[:, :1])], axis=-1)
+    Mp1 = p1 @ M.T          # (N, 3) = M @ p1
+    Mtp2 = p2 @ M            # (N, 3) = M^T @ p2
+    e = jnp.sum(p2 * Mp1, axis=-1)
+    denom = Mp1[:, 0] ** 2 + Mp1[:, 1] ** 2 + Mtp2[:, 0] ** 2 + Mtp2[:, 1] ** 2
+    return (e * e) / jnp.maximum(denom, 1e-12)
+
+
+def estimate_fundamental(key: jax.Array, pts1: jnp.ndarray, pts2: jnp.ndarray,
+                         mask: jnp.ndarray, thresh_px: float = 3.0,
+                         num_hypotheses: int = 2048):
+    """RANSAC fundamental matrix (GeometricFilter.cpp:39-61 equivalent).
+
+    Returns (F, inlier_mask, num_inliers). Threshold compares the Sampson
+    distance against thresh_px^2 (squared-distance form).
+    """
+    solver = lambda p1, p2: _eight_point(p1, p2, rank2_project=True, essential=False)
+    F, inl, cnt = ransac.ransac(
+        key, (pts1, pts2), mask, solver, sampson_distance,
+        sample_size=8, num_hypotheses=num_hypotheses,
+        inlier_thresh=thresh_px * thresh_px)
+    # Final least-squares refit on all inliers (masked rows zeroed).
+    F = _refit(pts1, pts2, inl, essential=False)
+    d = sampson_distance(F, pts1, pts2)
+    inl = (d < thresh_px * thresh_px) & mask
+    return F, inl, jnp.sum(inl)
+
+
+def _refit(pts1, pts2, mask, essential: bool) -> jnp.ndarray:
+    """Masked least-squares 8-point refit over all inliers."""
+    w = mask.astype(pts1.dtype)[:, None]
+    # Weighted Hartley normalization.
+    wsum = jnp.maximum(jnp.sum(w), 1.0)
+    c1 = jnp.sum(pts1 * w, axis=0) / wsum
+    c2 = jnp.sum(pts2 * w, axis=0) / wsum
+    s1 = jnp.sqrt(2.0) / jnp.maximum(jnp.sum(jnp.linalg.norm(pts1 - c1, axis=-1) * w[:, 0]) / wsum, 1e-12)
+    s2 = jnp.sqrt(2.0) / jnp.maximum(jnp.sum(jnp.linalg.norm(pts2 - c2, axis=-1) * w[:, 0]) / wsum, 1e-12)
+    p1n = (pts1 - c1) * s1
+    p2n = (pts2 - c2) * s2
+    x1, y1 = p1n[:, 0], p1n[:, 1]
+    x2, y2 = p2n[:, 0], p2n[:, 1]
+    ones = jnp.ones_like(x1)
+    A = jnp.stack([x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, ones], axis=-1) * w
+    _, vecs = jnp.linalg.eigh(A.T @ A)
+    M = vecs[:, 0].reshape(3, 3)
+    T1 = jnp.array([[s1, 0, -s1 * c1[0]], [0, s1, -s1 * c1[1]], [0, 0, 1]], dtype=pts1.dtype)
+    T2 = jnp.array([[s2, 0, -s2 * c2[0]], [0, s2, -s2 * c2[1]], [0, 0, 1]], dtype=pts1.dtype)
+    M = T2.T @ M @ T1
+    U, S, Vt = jnp.linalg.svd(M)
+    if essential:
+        s = (S[0] + S[1]) / 2.0
+        S = jnp.array([s, s, 0.0], dtype=M.dtype)
+    else:
+        S = S.at[2].set(0.0)
+    M = (U * S[None, :]) @ Vt
+    return M / jnp.maximum(jnp.linalg.norm(M), 1e-12)
+
+
+def estimate_essential(key: jax.Array, uv1: jnp.ndarray, uv2: jnp.ndarray,
+                       intr1: jnp.ndarray, intr2: jnp.ndarray,
+                       mask: jnp.ndarray, thresh_px: float = 1.0,
+                       num_hypotheses: int = 2048):
+    """RANSAC essential matrix in normalized camera coordinates
+    (GeometricFilter.cpp:10-37 equivalent).
+
+    The pixel threshold is converted to the normalized-plane scale by the
+    mean focal length, matching OpenCV's internal convention.
+    """
+    x1 = cam.unproject(intr1, uv1)[:, :2]
+    x2 = cam.unproject(intr2, uv2)[:, :2]
+    f_mean = (intr1[cam.FX] + intr1[cam.FY] + intr2[cam.FX] + intr2[cam.FY]) / 4.0
+    thresh = (thresh_px / f_mean) ** 2
+
+    solver = lambda p1, p2: _eight_point(p1, p2, rank2_project=True, essential=True)
+    E, inl, cnt = ransac.ransac(
+        key, (x1, x2), mask, solver, sampson_distance,
+        sample_size=8, num_hypotheses=num_hypotheses, inlier_thresh=thresh)
+    E = _refit(x1, x2, inl, essential=True)
+    d = sampson_distance(E, x1, x2)
+    inl = (d < thresh) & mask
+    return E, inl, jnp.sum(inl)
+
+
+def decompose_essential(E: jnp.ndarray):
+    """E -> four candidate (R, t) with det(R)=+1, |t|=1."""
+    U, _, Vt = jnp.linalg.svd(E)
+    # Keep rotations proper.
+    U = U * jnp.sign(jnp.linalg.det(U))
+    Vt = Vt * jnp.sign(jnp.linalg.det(Vt))
+    W = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], dtype=E.dtype)
+    R1 = U @ W @ Vt
+    R2 = U @ W.T @ Vt
+    t = U[:, 2]
+    return (R1, t), (R1, -t), (R2, t), (R2, -t)
+
+
+def recover_pose(E: jnp.ndarray, uv1: jnp.ndarray, uv2: jnp.ndarray,
+                 intr1: jnp.ndarray, intr2: jnp.ndarray,
+                 mask: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Cheirality-disambiguated relative pose from E (cv::recoverPose
+    equivalent; SequentialReconstructor.cpp:284-317).
+
+    Returns the (4, 4) pose of camera 2 assuming camera 1 at identity
+    (world->cam2: p2 = R p + t), chosen so the most correspondences
+    triangulate in front of both cameras.
+    """
+    candidates = decompose_essential(E)
+    eye = jnp.eye(4, dtype=E.dtype)
+    n = uv1.shape[0]
+
+    def count_cheirality(R, t):
+        pose2 = se3.make_pose(R, t)
+        poses = jnp.stack([jnp.broadcast_to(eye, (n, 4, 4)),
+                           jnp.broadcast_to(pose2, (n, 4, 4))], axis=1)
+        intrs = jnp.stack([jnp.broadcast_to(intr1, (n, 6)),
+                           jnp.broadcast_to(intr2, (n, 6))], axis=1)
+        uvs = jnp.stack([uv1, uv2], axis=1)
+        m = jnp.broadcast_to(mask[:, None], (n, 2))
+        pts = triangulation.triangulate_batch(poses, intrs, uvs, m)
+        z1 = pts[:, 2]
+        z2 = (pts @ R.T + t)[:, 2]
+        ok = (z1 > 0) & (z2 > 0) & mask & jnp.all(jnp.isfinite(pts), axis=-1)
+        return jnp.sum(ok), pose2
+
+    counts, poses = zip(*(count_cheirality(R, t) for (R, t) in candidates))
+    counts = jnp.stack(counts)
+    poses = jnp.stack(poses)
+    return poses[jnp.argmax(counts)], counts

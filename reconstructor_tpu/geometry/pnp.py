@@ -1,0 +1,114 @@
+"""Perspective-n-Point registration: batched DLT hypotheses + RANSAC + GN.
+
+Replaces ``cv::solvePnPRansac`` (SequentialReconstructor.cpp:591-597:
+10,000 adaptive iterations, 4.0 px reprojection threshold, 0.99
+confidence). TPU-native design:
+
+- minimal solver: 6-point linear DLT for the 3x4 projection in *normalized*
+  camera coordinates (intrinsics pre-applied via unproject), orthogonalized
+  to SO(3) by SVD — a tiny fixed-shape problem ``vmap``-able over the whole
+  hypothesis batch at once;
+- scoring: one (H, N) reprojection-error evaluation;
+- refinement: fixed-iteration Gauss-Newton on the 6-dof pose over all
+  inliers (the polish OpenCV applies after RANSAC), as a ``lax.fori_loop``
+  with a 6x6 normal-equation solve per step.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from reconstructor_tpu.geometry import camera as cam
+from reconstructor_tpu.geometry import se3, ransac
+
+
+def _pnp_dlt(pts3d: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
+    """Linear PnP from S >= 6 correspondences.
+
+    pts3d: (S, 3) world points; xy: (S, 2) normalized image-plane coords.
+    Returns (4, 4) world->camera pose with R projected to SO(3) and
+    cheirality-corrected sign.
+    """
+    S = pts3d.shape[0]
+    X = jnp.concatenate([pts3d, jnp.ones((S, 1), dtype=pts3d.dtype)], axis=-1)  # (S,4)
+    zeros = jnp.zeros_like(X)
+    x, y = xy[:, 0:1], xy[:, 1:2]
+    rows_u = jnp.concatenate([X, zeros, -x * X], axis=-1)   # (S, 12)
+    rows_v = jnp.concatenate([zeros, X, -y * X], axis=-1)   # (S, 12)
+    A = jnp.concatenate([rows_u, rows_v], axis=0)            # (2S, 12)
+    _, vecs = jnp.linalg.eigh(A.T @ A)
+    P = vecs[:, 0].reshape(3, 4)
+
+    # Resolve the global sign: points must land in front of the camera.
+    depths = X @ P[2]
+    P = P * jnp.sign(jnp.sum(jnp.sign(depths)) + 0.5)
+
+    M = P[:, :3]
+    U, sv, Vt = jnp.linalg.svd(M)
+    det = jnp.linalg.det(U @ Vt)
+    D = jnp.array([1.0, 1.0, 0.0], dtype=M.dtype).at[2].set(det)
+    R = (U * D[None, :]) @ Vt
+    scale = (sv[0] + sv[1] + det * sv[2]) / 3.0
+    t = P[:, 3] / jnp.where(jnp.abs(scale) < 1e-12, 1e-12, scale)
+    return se3.make_pose(R, t)
+
+
+def _reproj_residual_sq(pose: jnp.ndarray, pts3d: jnp.ndarray, uv: jnp.ndarray,
+                        intr: jnp.ndarray) -> jnp.ndarray:
+    """Squared L2 pixel reprojection error per correspondence (OpenCV's
+    solvePnPRansac inlier metric)."""
+    pts_cam = pts3d @ pose[:3, :3].T + pose[:3, 3]
+    proj = cam.project(intr, pts_cam[None])[0]
+    err = jnp.sum((proj - uv) ** 2, axis=-1)
+    # Points behind the camera can never be inliers.
+    return jnp.where(pts_cam[:, 2] > 0, err, jnp.inf)
+
+
+def _gauss_newton_refine(pose: jnp.ndarray, pts3d: jnp.ndarray, uv: jnp.ndarray,
+                         intr: jnp.ndarray, weights: jnp.ndarray,
+                         num_iters: int) -> jnp.ndarray:
+    """Fixed-iteration damped GN on the 6-dof [angle-axis, t] pose."""
+    p0 = se3.pose_to_params(pose)
+
+    def residuals(p):
+        pc = se3.rotate_points_aa(jnp.broadcast_to(p[:3], pts3d.shape), pts3d) + p[3:6]
+        proj = cam.project(intr, pc[None])[0]
+        return ((proj - uv) * weights[:, None]).reshape(-1)
+
+    def step(_, p):
+        r = residuals(p)
+        J = jax.jacfwd(residuals)(p)            # (2N, 6)
+        H = J.T @ J + 1e-6 * jnp.eye(6, dtype=p.dtype)
+        g = J.T @ r
+        dp = jnp.linalg.solve(H, g)
+        p_new = p - dp
+        better = jnp.sum(residuals(p_new) ** 2) < jnp.sum(r ** 2)
+        return jnp.where(better, p_new, p)
+
+    p = jax.lax.fori_loop(0, num_iters, step, p0)
+    return se3.params_to_pose(p)
+
+
+def solve_pnp_ransac(key: jax.Array, pts3d: jnp.ndarray, uv: jnp.ndarray,
+                     intr: jnp.ndarray, mask: jnp.ndarray,
+                     thresh_px: float = 4.0, num_hypotheses: int = 2048,
+                     refine_iters: int = 10):
+    """Full PnP RANSAC + polish.
+
+    Returns (pose (4,4), inlier_mask (N,), num_inliers).
+    """
+    xy = cam.unproject(intr, uv)[:, :2]
+
+    solver = lambda p3, p2, u: _pnp_dlt(p3, p2)
+    residual = lambda pose, p3, p2, u: _reproj_residual_sq(pose, p3, u, intr)
+    pose, inl, cnt = ransac.ransac(
+        key, (pts3d, xy, uv), mask, solver, residual,
+        sample_size=6, num_hypotheses=num_hypotheses,
+        inlier_thresh=thresh_px * thresh_px)
+
+    w = inl.astype(pts3d.dtype)
+    pose = _gauss_newton_refine(pose, pts3d, uv, intr, w, refine_iters)
+    err = _reproj_residual_sq(pose, pts3d, uv, intr)
+    inl = (err < thresh_px * thresh_px) & mask
+    return pose, inl, jnp.sum(inl)
