@@ -1,0 +1,199 @@
+"""Levenberg-Marquardt bundle adjustment with a Schur-complement solve.
+
+Capability parity with the reference's Ceres-based ``BundleAdjuster``
+(BundleAdjuster.cpp:11-188: autodiff reprojection residuals, DENSE_SCHUR,
+gauge fixing cam0 + cam1-translation, intrinsics frozen below 10 cameras),
+re-architected for TPU:
+
+- The residual (``_residual``) is the reference's ReprojectionError
+  (BundleAdjuster.h:26-58) — angle-axis rotation, additive shared radial
+  distortion — written once in JAX; forward-mode autodiff (``jacfwd``
+  vmapped over all observations at once) replaces Ceres's per-block
+  AutoDiffCostFunction.
+- Hessian blocks are assembled with ``segment_sum`` over the observation
+  table (fixed capacity, masked) — no sparse matrices, no host loops.
+- The reduced camera system S = Hcc - W Hpp^-1 W^T is materialized
+  *densely* through a (12C, 3L) landmark-camera coupling matrix: with C
+  cameras in the dozens and L landmarks in the tens of thousands this is
+  exactly the DENSE_SCHUR regime (BundleAdjuster.cpp:132), and the
+  reduction is a single MXU matmul instead of Ceres's sparse block
+  elimination. Point updates back-substitute with batched 3x3 solves.
+- Parameter freezing (gauge + intrinsics policy) is expressed by zeroing
+  Jacobian columns — the same fixed-point semantics as Ceres's
+  SetParameterBlockConstant / SubsetManifold, but branch-free.
+- The damped LM loop runs under ``lax.while_loop`` with accept/reject
+  lambda control, entirely on device.
+
+Parameter layout per camera (12): [aa(3), t(3), fx, fy, cx, cy, k1, k2]
+(extrinsics packing of BundleAdjuster.cpp:52-57, intrinsics of :38-43).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from reconstructor_tpu.geometry import se3
+
+
+class BAProblem(NamedTuple):
+    """Fixed-shape bundle adjustment problem."""
+    cam_params: jnp.ndarray   # (C, 12)
+    points: jnp.ndarray       # (L, 3)
+    obs_cam: jnp.ndarray      # (O,) int32
+    obs_pt: jnp.ndarray       # (O,) int32
+    obs_uv: jnp.ndarray       # (O, 2)
+    obs_mask: jnp.ndarray     # (O,) bool
+    cam_free: jnp.ndarray     # (C, 12) float 0/1 — free-parameter mask
+
+
+class BAResult(NamedTuple):
+    cam_params: jnp.ndarray
+    points: jnp.ndarray
+    cost_initial: jnp.ndarray
+    cost_final: jnp.ndarray
+    iterations: jnp.ndarray
+
+
+def _residual(cam: jnp.ndarray, pt: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
+    """Reprojection residual [du, dv] — BundleAdjuster.h:26-58 parity.
+
+    cam: (12,) [aa, t, fx, fy, cx, cy, k1, k2]; pt: (3,); uv: (2,).
+    """
+    p = se3.rotate_points_aa(cam[:3], pt) + cam[3:6]
+    # guard against z ~ 0 (masked observations may be garbage)
+    z = jnp.where(jnp.abs(p[2]) < 1e-8, 1e-8, p[2])
+    x = p[0] / z
+    y = p[1] / z
+    r = x * x + y * y
+    d = cam[10] * r + cam[11] * r * r
+    xd = x + d
+    yd = y + d
+    u = cam[6] * xd + cam[8]
+    v = cam[7] * yd + cam[9]
+    return jnp.stack([u - uv[0], v - uv[1]])
+
+
+def make_cam_free_mask(num_cams: int, intrinsics_free_min_cams: int = 10) -> jnp.ndarray:
+    """Reference freezing policy as a (C, 12) 0/1 mask.
+
+    - camera 0: fully constant (gauge, BundleAdjuster.cpp:100-101)
+    - camera 1: translation constant (scale gauge, :104-105)
+    - intrinsics: all frozen when C < 10, else only principal point frozen
+      (:108-129). k1, k2 follow the focal columns' policy.
+    """
+    free = jnp.ones((num_cams, 12), jnp.float32)
+    free = free.at[0, :].set(0.0)
+    if num_cams > 1:
+        free = free.at[1, 3:6].set(0.0)
+    if num_cams < intrinsics_free_min_cams:
+        free = free.at[:, 6:12].set(0.0)
+    else:
+        free = free.at[:, 8:10].set(0.0)
+    return free
+
+
+def _compute_cost(prob: BAProblem, cam_params, points) -> jnp.ndarray:
+    res = jax.vmap(_residual)(cam_params[prob.obs_cam], points[prob.obs_pt], prob.obs_uv)
+    res = res * prob.obs_mask[:, None]
+    return 0.5 * jnp.sum(res * res)
+
+
+def _build_blocks(prob: BAProblem, cam_params, points):
+    """Per-observation residuals and masked Jacobian blocks."""
+    def rj(cam, pt, uv):
+        return (jax.jacfwd(_residual, argnums=(0, 1))(cam, pt, uv),
+                _residual(cam, pt, uv))
+    (Jc, Jp), res = jax.vmap(rj)(cam_params[prob.obs_cam], points[prob.obs_pt], prob.obs_uv)
+    m = prob.obs_mask[:, None, None]
+    Jc = Jc * m * prob.cam_free[prob.obs_cam][:, None, :]
+    Jp = Jp * m
+    res = res * prob.obs_mask[:, None]
+    return res, Jc, Jp   # (O,2), (O,2,12), (O,2,3)
+
+
+def _lm_step(prob: BAProblem, cam_params, points, lam):
+    """One damped LM solve: returns (d_cam (C,12), d_pt (L,3))."""
+    C = cam_params.shape[0]
+    L = points.shape[0]
+    res, Jc, Jp = _build_blocks(prob, cam_params, points)
+
+    # Gradient and block Hessians.
+    g_c = jax.ops.segment_sum(jnp.einsum("ori,or->oi", Jc, res), prob.obs_cam, C)   # (C,12)
+    g_p = jax.ops.segment_sum(jnp.einsum("ori,or->oi", Jp, res), prob.obs_pt, L)    # (L,3)
+    H_cc = jax.ops.segment_sum(jnp.einsum("ori,orj->oij", Jc, Jc), prob.obs_cam, C) # (C,12,12)
+    H_pp = jax.ops.segment_sum(jnp.einsum("ori,orj->oij", Jp, Jp), prob.obs_pt, L)  # (L,3,3)
+    Y = jnp.einsum("ori,orj->oij", Jc, Jp)                                          # (O,12,3)
+
+    eye12 = jnp.eye(12, dtype=cam_params.dtype)
+    eye3 = jnp.eye(3, dtype=cam_params.dtype)
+    # Additive (Levenberg) damping; fixed columns get unit diagonal so the
+    # system stays non-singular and their update is exactly zero.
+    fixed_c = 1.0 - prob.cam_free                                    # (C,12)
+    H_cc = H_cc + lam * eye12 + fixed_c[:, :, None] * eye12
+    H_pp = H_pp + (lam + 1e-8) * eye3
+
+    H_pp_inv = jnp.linalg.inv(H_pp)                                  # (L,3,3)
+
+    # Dense landmark-camera coupling: W (C,12,L,3) via scatter of Y blocks.
+    W = jnp.zeros((C, 12, L, 3), cam_params.dtype)
+    W = W.at[prob.obs_cam, :, prob.obs_pt, :].add(Y)
+    # P = W Hpp^-1  (apply per-point 3x3)
+    P = jnp.einsum("cilk,lkj->cilj", W, H_pp_inv)
+    Wf = W.reshape(C * 12, L * 3)
+    Pf = P.reshape(C * 12, L * 3)
+
+    H_cc_dense = jnp.zeros((C * 12, C * 12), cam_params.dtype)
+    ci = jnp.arange(C)
+    H_cc_dense = H_cc_dense.reshape(C, 12, C, 12).at[ci, :, ci, :].set(H_cc).reshape(C * 12, C * 12)
+
+    S = H_cc_dense - Pf @ Wf.T                                       # MXU
+    rhs = -(g_c.reshape(-1) - Pf @ g_p.reshape(-1))
+
+    d_cam = jnp.linalg.solve(S, rhs).reshape(C, 12)
+
+    # Back-substitute points: dp = -Hpp^-1 (g_p + W^T dc)
+    Wt_dc = (Wf.T @ d_cam.reshape(-1)).reshape(L, 3)
+    d_pt = -jnp.einsum("lij,lj->li", H_pp_inv, g_p + Wt_dc)
+    d_cam = d_cam * prob.cam_free
+    return d_cam, d_pt
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters",))
+def solve(prob: BAProblem, max_iters: int = 50, init_lambda: float = 1e-3,
+          lambda_up: float = 4.0, lambda_down: float = 2.0,
+          ftol: float = 1e-8, focal_upper_bound: float = 1000.0) -> BAResult:
+    """Run damped LM to convergence (or max_iters) fully on device."""
+    cost0 = _compute_cost(prob, prob.cam_params, prob.points)
+
+    def cond(state):
+        cam, pts, lam, cost, it, done = state
+        return (it < max_iters) & (~done)
+
+    def body(state):
+        cam, pts, lam, cost, it, done = state
+        d_cam, d_pt = _lm_step(prob, cam, pts, lam)
+        cam_new = cam + d_cam
+        # focal upper bound (BundleAdjuster.cpp:120-121)
+        cam_new = cam_new.at[:, 6:8].min(focal_upper_bound)
+        pts_new = pts + d_pt
+        new_cost = _compute_cost(prob, cam_new, pts_new)
+        accept = (new_cost < cost) & jnp.isfinite(new_cost)
+        cam = jnp.where(accept, cam_new, cam)
+        pts = jnp.where(accept, pts_new, pts)
+        lam = jnp.where(accept, lam / lambda_down, lam * lambda_up)
+        rel_drop = (cost - new_cost) / jnp.maximum(cost, 1e-12)
+        done = accept & (rel_drop < ftol) & (rel_drop >= 0)
+        done = done | (lam > 1e8)
+        cost = jnp.where(accept, new_cost, cost)
+        return cam, pts, lam, cost, it + 1, done
+
+    lam0 = jnp.asarray(init_lambda, prob.cam_params.dtype)
+    state = (prob.cam_params, prob.points, lam0, cost0,
+             jnp.asarray(0, jnp.int32), jnp.asarray(False))
+    cam, pts, lam, cost, it, _ = jax.lax.while_loop(cond, body, state)
+    return BAResult(cam_params=cam, points=pts, cost_initial=cost0,
+                    cost_final=cost, iterations=it)

@@ -1,0 +1,138 @@
+"""Tests for the SIFT-style frontend and kNN matcher on synthetic images."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from reconstructor_tpu.features import sift
+from reconstructor_tpu.matching import knn, pairs
+from reconstructor_tpu.io import images as io_images
+
+
+def make_blob_image(rng, h=128, w=160, n_blobs=None, grid=24):
+    """Image with well-separated Gaussian blobs — ideal DoG targets.
+
+    Blobs sit on a jittered grid so they never overlap (overlapping blobs
+    legitimately merge into one extremum and would make recall flaky).
+    """
+    img = np.zeros((h, w), np.float32)
+    yy, xx = np.mgrid[0:h, 0:w]
+    centers = []
+    for gy in range(16, h - 16, grid):
+        for gx in range(16, w - 16, grid):
+            y = gy + rng.uniform(-4, 4)
+            x = gx + rng.uniform(-4, 4)
+            s = rng.uniform(2.0, 3.2)
+            img += rng.uniform(0.5, 1.0) * np.exp(
+                -((yy - y) ** 2 + (xx - x) ** 2) / (2 * s * s))
+            centers.append((x, y))
+    if n_blobs is not None:
+        centers = centers[:n_blobs]
+    return np.clip(img, 0, 1), np.asarray(centers)
+
+
+class TestSift:
+    def test_detects_blob_centers(self):
+        rng = np.random.default_rng(0)
+        img, centers = make_blob_image(rng)
+        gray = jnp.asarray(img)[None]
+        shapes = jnp.asarray([[img.shape[0], img.shape[1]]], jnp.int32)
+        feats = sift.detect_and_describe(gray, shapes, max_keypoints=256)
+        xy = np.asarray(feats.xy[0])[np.asarray(feats.mask[0])]
+        assert xy.shape[0] >= 20
+        # every blob center should have a detection within 3 px
+        d = np.linalg.norm(centers[:, None, :] - xy[None, :, :], axis=-1).min(axis=1)
+        assert (d < 3.0).mean() > 0.7
+
+    def test_mask_and_border(self):
+        rng = np.random.default_rng(1)
+        img, _ = make_blob_image(rng)
+        gray = jnp.asarray(img)[None]
+        shapes = jnp.asarray([[96, 128]], jnp.int32)  # claim smaller valid area
+        feats = sift.detect_and_describe(gray, shapes, max_keypoints=256)
+        xy = np.asarray(feats.xy[0])[np.asarray(feats.mask[0])]
+        assert np.all(xy[:, 0] < 128 - 8) and np.all(xy[:, 1] < 96 - 8)
+        assert np.all(xy[:, 0] >= 8) and np.all(xy[:, 1] >= 8)
+
+    def test_descriptors_normalized(self):
+        rng = np.random.default_rng(2)
+        img, _ = make_blob_image(rng)
+        feats = sift.detect_and_describe(
+            jnp.asarray(img)[None], jnp.asarray([[128, 160]], jnp.int32), max_keypoints=128)
+        mask = np.asarray(feats.mask[0])
+        norms = np.linalg.norm(np.asarray(feats.desc[0])[mask], axis=-1)
+        np.testing.assert_allclose(norms, 1.0, atol=1e-3)
+
+    def test_translation_matching(self):
+        """Shifted copy of an image must match back via descriptors."""
+        rng = np.random.default_rng(3)
+        img, _ = make_blob_image(rng, n_blobs=40)
+        dy, dx = 6, 9
+        img2 = np.roll(np.roll(img, dy, axis=0), dx, axis=1)
+        gray = jnp.asarray(np.stack([img, img2]))
+        shapes = jnp.asarray([[128, 160], [128, 160]], jnp.int32)
+        feats = sift.detect_and_describe(gray, shapes, max_keypoints=256)
+        midx, mmask = knn.match_pair(feats.desc[0], feats.desc[1],
+                                     feats.mask[0], feats.mask[1])
+        midx, mmask = np.asarray(midx), np.asarray(mmask)
+        assert mmask.sum() >= 15
+        xy1 = np.asarray(feats.xy[0])
+        xy2 = np.asarray(feats.xy[1])
+        d = xy2[midx[mmask]] - xy1[mmask]
+        # most matches should agree with the true shift
+        good = (np.abs(d - np.array([dx, dy])) <= 1.5).all(axis=1)
+        assert good.mean() > 0.8
+
+
+class TestKnn:
+    def test_exact_match_identity(self):
+        rng = np.random.default_rng(4)
+        d = rng.standard_normal((64, 128)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        perm = rng.permutation(64)
+        idx, ok = knn.match_pair(jnp.asarray(d), jnp.asarray(d[perm]),
+                                 jnp.ones(64, bool), jnp.ones(64, bool))
+        idx = np.asarray(idx)
+        assert np.asarray(ok).all()
+        np.testing.assert_array_equal(perm[idx], np.arange(64))
+
+    def test_ratio_test_rejects_ambiguous(self):
+        # two identical target descriptors -> ratio ~1 -> reject
+        d1 = np.zeros((1, 4), np.float32); d1[0, 0] = 1
+        d2 = np.stack([d1[0], d1[0]])
+        idx, ok = knn.match_pair(jnp.asarray(d1), jnp.asarray(d2),
+                                 jnp.ones(1, bool), jnp.ones(2, bool))
+        assert not bool(ok[0])
+
+    def test_mask_respected(self):
+        rng = np.random.default_rng(5)
+        d = rng.standard_normal((8, 16)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        m2 = np.zeros(8, bool); m2[:4] = True
+        idx, ok = knn.match_pair(jnp.asarray(d), jnp.asarray(d),
+                                 jnp.ones(8, bool), jnp.asarray(m2))
+        idx, ok = np.asarray(idx), np.asarray(ok)
+        assert np.all(idx[ok] < 4)
+
+    def test_match_all_pairs_shapes(self):
+        rng = np.random.default_rng(6)
+        desc = rng.standard_normal((3, 32, 16)).astype(np.float32)
+        desc /= np.linalg.norm(desc, axis=-1, keepdims=True)
+        mask = np.ones((3, 32), bool)
+        p = pairs.exhaustive_pairs(3)
+        assert p.shape == (3, 2)
+        midx, mmask = knn.match_all_pairs(jnp.asarray(desc), jnp.asarray(mask), jnp.asarray(p))
+        assert midx.shape == (3, 32) and mmask.shape == (3, 32)
+
+
+class TestImageIO:
+    def test_reference_resize_semantics(self):
+        # 3072x2048 landscape -> width 512, height floored to /8
+        h, w = io_images.reference_target_size(2048, 3072, 512)
+        assert w == 512
+        assert h == (2048 * 512 // 3072) - ((2048 * 512 // 3072) % 8)
+        # portrait
+        h, w = io_images.reference_target_size(1000, 500, 512)
+        assert h == 512 and w % 8 == 0
+        # small image untouched
+        assert io_images.reference_target_size(100, 200, 512) == (100, 200)
