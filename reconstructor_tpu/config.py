@@ -38,9 +38,9 @@ class ReconstructorConfig:
     # ---- feature detection ---------------------------------------------
     detector: str = "sift"           # "sift" | "superpoint"
     max_keypoints: int = 2048        # fixed per-image keypoint capacity
-    sift_num_octaves: int = 4
-    sift_scales_per_octave: int = 3
-    sift_contrast_thresh: float = 0.015
+    sift_num_scales: int = 12        # full-res scale levels, ratio 2^(1/3)
+    sift_sigma0: float = 0.8         # finest detection sigma (native px)
+    sift_contrast_thresh: float = 0.004
     sift_edge_thresh: float = 10.0
     superpoint_conf_thresh: float = 0.015
     superpoint_nms_radius: int = 4

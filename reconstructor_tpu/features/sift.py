@@ -120,8 +120,9 @@ def _edge_response_ok(dog_level: jnp.ndarray, edge_thresh: float) -> jnp.ndarray
 
 
 def detect_keypoints(gray: jnp.ndarray, shapes: jnp.ndarray, max_keypoints: int,
-                     num_scales: int = 5, contrast_thresh: float = 0.015,
-                     edge_thresh: float = 10.0, border: int = 8):
+                     num_scales: int = 12, contrast_thresh: float = 0.004,
+                     edge_thresh: float = 10.0, border: int = 8,
+                     sigma0: float = 0.8):
     """Batched DoG keypoint detection.
 
     gray: (N, H, W) float32 in [0,1]; shapes: (N, 2) valid (h, w) per image.
@@ -129,7 +130,7 @@ def detect_keypoints(gray: jnp.ndarray, shapes: jnp.ndarray, max_keypoints: int,
     mask (N,K), gaussians (N,S,H,W), sigmas (S,)).
     """
     N, H, W = gray.shape
-    gauss, sigmas = build_scale_space(gray, num_scales)
+    gauss, sigmas = build_scale_space(gray, num_scales, sigma0=sigma0)
     dog = gauss[:, 1:] - gauss[:, :-1]            # (N, S-1, H, W)
 
     extrema = _neighborhood_extrema(dog)          # (N, S-3, H, W)
@@ -160,10 +161,46 @@ def detect_keypoints(gray: jnp.ndarray, shapes: jnp.ndarray, max_keypoints: int,
     y_idx = (idx % (H * W)) // W
     x_idx = idx % W
     mask = scores > 0
-    xy = jnp.stack([x_idx, y_idx], axis=-1).astype(gray.dtype)
+    # --- subpixel refinement: 2D quadratic fit of the DoG level ---------
+    # (the reference inherits OpenCV SIFT's interpolation then truncates
+    # to int coords, datatypes.h:12-25; keeping the subpixel offset makes
+    # every downstream pixel-threshold gate measurably sharper)
+    dxy = _subpixel_offset(dog, s_idx + 1, y_idx, x_idx)
+    xy = jnp.stack([x_idx, y_idx], axis=-1).astype(gray.dtype) + dxy
     # detection sigma: interior DoG scale i corresponds to sigma[i+1]
     scale = sigmas[s_idx + 1]
     return xy, scale, scores, mask, gauss, sigmas, s_idx + 1
+
+
+def _subpixel_offset(dog: jnp.ndarray, d_idx: jnp.ndarray, y: jnp.ndarray,
+                     x: jnp.ndarray) -> jnp.ndarray:
+    """(dx, dy) quadratic-fit offsets, clamped to +-0.5.
+
+    dog: (N, D, H, W); d_idx/y/x: (N, K). Solves the 2x2 spatial Newton
+    step -H^-1 g on each keypoint's DoG level (scale offset omitted — it
+    does not move the pixel).
+    """
+    N, D, H, W = dog.shape
+    yc = jnp.clip(y, 1, H - 2)
+    xc = jnp.clip(x, 1, W - 2)
+
+    def level_val(oy, ox):
+        ns = jnp.arange(N)[:, None]
+        return dog[ns, d_idx, yc + oy, xc + ox]
+
+    v = level_val(0, 0)
+    gx = (level_val(0, 1) - level_val(0, -1)) / 2.0
+    gy = (level_val(1, 0) - level_val(-1, 0)) / 2.0
+    hxx = level_val(0, 1) + level_val(0, -1) - 2 * v
+    hyy = level_val(1, 0) + level_val(-1, 0) - 2 * v
+    hxy = (level_val(1, 1) - level_val(1, -1) - level_val(-1, 1) + level_val(-1, -1)) / 4.0
+    det = hxx * hyy - hxy * hxy
+    det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    dx = -(hyy * gx - hxy * gy) / det
+    dy = -(hxx * gy - hxy * gx) / det
+    dx = jnp.clip(dx, -0.5, 0.5)
+    dy = jnp.clip(dy, -0.5, 0.5)
+    return jnp.stack([dx, dy], axis=-1)
 
 
 def _descriptor_at(gauss_level: jnp.ndarray, xy: jnp.ndarray, sigma: jnp.ndarray,
@@ -268,19 +305,27 @@ def compute_descriptors(gauss: jnp.ndarray, xy: jnp.ndarray, scale_idx: jnp.ndar
 
 
 @functools.partial(jax.jit, static_argnames=("max_keypoints", "num_scales",
-                                             "contrast_thresh", "edge_thresh"))
+                                             "contrast_thresh", "edge_thresh",
+                                             "sigma0"))
 def detect_and_describe(gray: jnp.ndarray, shapes: jnp.ndarray,
-                        max_keypoints: int = 2048, num_scales: int = 5,
-                        contrast_thresh: float = 0.015,
-                        edge_thresh: float = 10.0) -> Features:
+                        max_keypoints: int = 2048, num_scales: int = 12,
+                        contrast_thresh: float = 0.004,
+                        edge_thresh: float = 10.0,
+                        sigma0: float = 0.8) -> Features:
     """The full classic frontend: (N, H, W) batch -> Features.
 
     One jitted program: scale space, extrema, top-K selection and
     descriptor extraction all run on-device; the host only sees the final
     fixed-shape Features pytree.
+
+    sigma0=0.8 plays the role of OpenCV SIFT's doubled-resolution first
+    octave (its sigma 1.6 lives on a 2x-upsampled image, i.e. 0.8 in
+    native pixels): detection reaches the fine structures that produce
+    the bulk of SIFT keypoints without paying for 4x upsampled conv work.
     """
     xy, scale, score, mask, gauss, sigmas, s_idx = detect_keypoints(
-        gray, shapes, max_keypoints, num_scales, contrast_thresh, edge_thresh)
+        gray, shapes, max_keypoints, num_scales, contrast_thresh, edge_thresh,
+        sigma0=sigma0)
     desc = jax.vmap(compute_descriptors, in_axes=(0, 0, 0, None))(gauss, xy, s_idx, sigmas)
     desc = desc * mask[..., None]
     return Features(xy=xy, scale=scale, score=score, desc=desc, mask=mask)

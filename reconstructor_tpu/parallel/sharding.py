@@ -1,0 +1,90 @@
+"""Device-mesh plumbing and sharded all-pairs matching.
+
+This is the TPU-native replacement for every piece of parallelism the
+reference has (one OpenMP parallel-for over images and one collapse(2)
+over pairs — SURVEY.md §2 audit): instead of threads mutating shared maps
+(the reference's latent data race), work is laid out on a batch axis and
+sharded over a 1-D device mesh with ``jax.sharding.NamedSharding``. XLA
+partitions the batched programs and inserts the ICI collectives; nothing
+here hand-rolls communication.
+
+The same entry points drive 1 chip (trivial mesh), N chips in one host,
+or a multi-host pod slice (callers run ``jax.distributed.initialize``
+first; the mesh then spans all processes' devices).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+AXIS = "shard"
+
+
+def make_mesh(num_devices: Optional[int] = None,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """1-D mesh over the pair/observation sharding axis."""
+    if devices is None:
+        devices = jax.devices()
+        if num_devices is not None:
+            devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), (AXIS,))
+
+
+def shard_batch(mesh: Mesh, arr: jnp.ndarray) -> jnp.ndarray:
+    """Place ``arr`` sharded along its leading axis over the mesh."""
+    return jax.device_put(arr, NamedSharding(mesh, P(AXIS)))
+
+
+def replicate(mesh: Mesh, arr: jnp.ndarray) -> jnp.ndarray:
+    return jax.device_put(arr, NamedSharding(mesh, P()))
+
+
+def pad_to_multiple(arr: np.ndarray, multiple: int, axis: int = 0,
+                    fill=0) -> np.ndarray:
+    n = arr.shape[axis]
+    target = ((n + multiple - 1) // multiple) * multiple
+    if target == n:
+        return arr
+    pad = [(0, 0)] * arr.ndim
+    pad[axis] = (0, target - n)
+    return np.pad(arr, pad, constant_values=fill)
+
+
+def match_all_pairs_sharded(mesh: Mesh, desc: np.ndarray, mask: np.ndarray,
+                            pair_idx: np.ndarray, ratio_thresh: float = 0.7,
+                            cross_check: bool = True):
+    """All-pairs descriptor matching with the pair axis sharded over chips.
+
+    Replaces the reference's OpenMP collapse(2) loop
+    (SequentialReconstructor.cpp:202). Descriptors are replicated (they
+    are small: N*K*D); the P-pair work axis is split across the mesh and
+    each chip runs the same batched MXU matching program on its slice —
+    data parallelism over pairs with zero cross-chip traffic until the
+    host gathers the results.
+
+    Returns (match_idx (P, K) int32, match_mask (P, K) bool) as numpy.
+    """
+    from reconstructor_tpu.matching import knn
+
+    n_dev = mesh.devices.size
+    P_orig = pair_idx.shape[0]
+    pair_pad = pad_to_multiple(pair_idx.astype(np.int32), n_dev)
+
+    desc_r = replicate(mesh, jnp.asarray(desc))
+    mask_r = replicate(mesh, jnp.asarray(mask))
+    pairs_s = shard_batch(mesh, jnp.asarray(pair_pad))
+
+    matcher = jax.jit(
+        functools.partial(knn.match_all_pairs, ratio_thresh=ratio_thresh,
+                          cross_check=cross_check),
+        in_shardings=(NamedSharding(mesh, P()), NamedSharding(mesh, P()),
+                      NamedSharding(mesh, P(AXIS))),
+        out_shardings=NamedSharding(mesh, P(AXIS)))
+    midx, mmask = matcher(desc_r, mask_r, pairs_s)
+    return np.asarray(midx)[:P_orig], np.asarray(mmask)[:P_orig]

@@ -1,0 +1,617 @@
+"""The incremental SfM driver — SequentialReconstructor re-designed for TPU.
+
+Capability parity with the reference's pipeline
+(SequentialReconstructor.cpp:978-1103): detect -> match (+epipolar gate) ->
+initial pair -> triangulate -> [PnP register -> triangulate new ->
+validity sweep -> global BA -> outlier removal] x (N-2) -> colored PLY.
+
+Architecture (deliberately NOT the reference's): the incremental loop is
+inherently sequential, so a thin host driver owns bookkeeping
+(pipeline.state) while every stage's math runs as a fixed-shape batched
+device program:
+
+- detection: one vmapped program over the whole image batch
+  (features.sift), replacing the racy OpenMP loop at
+  SequentialReconstructor.cpp:58.
+- matching: all pairs at once on the MXU (matching.knn), replacing the
+  collapse(2) OpenMP loop at :202.
+- epipolar gating: fixed-budget batched RANSAC vmapped over pair chunks,
+  replacing cv::findFundamentalMat per pair (:251).
+- registration: batched PnP hypotheses (geometry.pnp) replacing
+  cv::solvePnPRansac (:591).
+- triangulation + landmark validity: landmark-major grouped observation
+  tables swept in one batched kernel (geometry.triangulation,
+  _check_landmarks) replacing the per-landmark loops at :396-490/:869-954.
+- BA: Schur-complement LM (ba.lm) replacing Ceres DENSE_SCHUR (:1065).
+
+Shapes are padded to coarse buckets (powers of two / multiples of 8) so
+the whole run compiles a handful of programs, then reuses them.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from reconstructor_tpu.config import ReconstructorConfig
+from reconstructor_tpu.features import sift
+from reconstructor_tpu.geometry import camera as cam
+from reconstructor_tpu.geometry import epipolar, pnp, se3, triangulation
+from reconstructor_tpu.io import images as io_images
+from reconstructor_tpu.io import ply
+from reconstructor_tpu.matching import knn, pairs as pairing
+from reconstructor_tpu.ba import lm as ba_lm
+from reconstructor_tpu.pipeline.state import ReconstructionState, MAX_VIEWS_PER_LANDMARK
+from reconstructor_tpu.utils.timing import TimeLogger
+
+
+def _next_pow2(n: int, lo: int = 64) -> int:
+    v = lo
+    while v < n:
+        v *= 2
+    return v
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+# ----------------------------------------------------------------------
+# jitted stage kernels
+# ----------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("num_hypotheses", "thresh_px"))
+def _filter_chunk(keys, pts1, pts2, mask, num_hypotheses: int, thresh_px: float):
+    """Vmapped fundamental-RANSAC gate over a chunk of pairs.
+
+    pts1/pts2: (B, K, 2); mask: (B, K). Returns inlier masks (B, K).
+    """
+    def one(key, p1, p2, m):
+        _, inl, _ = epipolar.estimate_fundamental(
+            key, p1, p2, m, thresh_px=thresh_px, num_hypotheses=num_hypotheses)
+        return inl
+    return jax.vmap(one)(keys, pts1, pts2, mask)
+
+
+@functools.partial(jax.jit, static_argnames=("num_hypotheses", "thresh_px"))
+def _initial_pose(key, uv1, uv2, intr1, intr2, mask,
+                  num_hypotheses: int, thresh_px: float):
+    E, inl, cnt = epipolar.estimate_essential(
+        key, uv1, uv2, intr1, intr2, mask,
+        thresh_px=thresh_px, num_hypotheses=num_hypotheses)
+    pose, _ = epipolar.recover_pose(E, uv1, uv2, intr1, intr2, inl)
+    return pose, inl, cnt
+
+
+@functools.partial(jax.jit, static_argnames=("max_err", "min_angle"))
+def _triangulate_validate(poses, intrs, uvs, mask, max_err: float, min_angle: float):
+    return triangulation.triangulate_and_validate(poses, intrs, uvs, mask,
+                                                  max_err, min_angle)
+
+
+@functools.partial(jax.jit, static_argnames=("max_err", "min_angle"))
+def _check_landmarks(xyz, poses_all, intr_all, obs_img, obs_feat, obs_mask,
+                     xy_all, max_err: float, min_angle: float):
+    """Batched landmark validity sweep (checkLandmarkValidity parity,
+    SequentialReconstructor.cpp:869-954).
+
+    xyz (L,3); poses_all (N,4,4); intr_all (N,6); obs_* (L,V); xy_all (N,K,2).
+    Returns (valid (L,), new_obs_mask (L,V)) where failing observations
+    (reproj > gate or negative depth) are dropped and a landmark survives
+    iff >= 2 observations remain and at least one pair of them subtends
+    more than the minimum angle (the reference's keep-if-any-pair-passes
+    rule at :943-948 — deliberately weaker than the creation-time
+    all-pairs rule).
+    """
+    uv = xy_all[obs_img, obs_feat]                 # (L,V,2)
+    P = poses_all[obs_img]                         # (L,V,4,4)
+    I = intr_all[obs_img]                          # (L,V,6)
+    local = jnp.einsum("lvij,lj->lvi", P[..., :3, :3], xyz) + P[..., :3, 3]
+    err = cam.reprojection_error_l1(I, local[..., None, :], uv[..., None, :])[..., 0]
+    obs_ok = (err <= max_err) & (local[..., 2] > 0)
+    new_mask = obs_mask & obs_ok
+
+    centers = se3.camera_center(P)                 # (L,V,3)
+    ang = triangulation.triangulation_angles_deg(xyz, centers)  # (L,V,V)
+    V = obs_mask.shape[1]
+    pair = new_mask[:, :, None] & new_mask[:, None, :] & ~jnp.eye(V, dtype=bool)[None]
+    angle_passed = jnp.any(pair & (ang > min_angle), axis=(1, 2))
+    valid = (jnp.sum(new_mask, axis=1) >= 2) & angle_passed
+    return valid, new_mask
+
+
+@functools.partial(jax.jit, static_argnames=("num_hypotheses", "thresh_px", "refine_iters"))
+def _pnp(key, pts3d, uv, intr, mask, num_hypotheses: int, thresh_px: float,
+         refine_iters: int):
+    return pnp.solve_pnp_ransac(key, pts3d, uv, intr, mask,
+                                thresh_px=thresh_px,
+                                num_hypotheses=num_hypotheses,
+                                refine_iters=refine_iters)
+
+
+# ----------------------------------------------------------------------
+# driver
+# ----------------------------------------------------------------------
+
+class IncrementalReconstructor:
+    """End-to-end incremental reconstruction (reconstruct() parity)."""
+
+    def __init__(self, config: Optional[ReconstructorConfig] = None,
+                 verbose: bool = True):
+        self.config = config or ReconstructorConfig()
+        self.verbose = verbose
+        self.timer = TimeLogger()
+        self._key = jax.random.PRNGKey(0)
+
+    def _log(self, *args):
+        if self.verbose:
+            print(*args, flush=True)
+
+    def _next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    # ------------------------------------------------------------------
+    def reconstruct(self, img_folder: str, out_folder: Optional[str] = None,
+                    save_intermediate: bool = False) -> ReconstructionState:
+        cfg = self.config
+        if out_folder:
+            os.makedirs(os.path.join(out_folder, "clouds"), exist_ok=True)
+
+        with self.timer.event("feature extraction"):
+            state = self.detect_features(img_folder)
+        with self.timer.event("feature matching"):
+            self.match_features(state)
+        with self.timer.event("initial pair and pose estimation"):
+            i1, i2, rel_pose = self.choose_initial_pair(state)
+        state.poses[i1] = np.eye(4, dtype=np.float32)
+        state.poses[i2] = rel_pose
+        state.registered = [i1, i2]
+        self._log(f"initial pair: {i1}, {i2}")
+
+        with self.timer.event("initial pair features triangulation"):
+            self.triangulate_initial_pair(state, i1, i2)
+        self._log(f"landmarks initial size: {state.num_landmarks}")
+
+        if out_folder and save_intermediate:
+            self._save(state, os.path.join(out_folder, "clouds/cloud_initial.ply"))
+
+        for it in range(state.num_images - 2):
+            with self.timer.event("adding new view"):
+                added = self.add_next_view(state)
+            if added is None:
+                self._log("no registrable view left; stopping early")
+                break
+            with self.timer.event("global bundle adjustment"):
+                inl_before = self.check_landmark_validity(state, drop=True)
+                if out_folder and save_intermediate:
+                    self._save(state, os.path.join(out_folder, f"clouds/cloud_before_{it}.ply"), inl_before)
+                self.bundle_adjust(state)
+                inl_after = self.check_landmark_validity(state, drop=True)
+                state.remove_landmarks(inl_after)
+                if out_folder and save_intermediate:
+                    self._save(state, os.path.join(out_folder, f"clouds/cloud_after_{it}.ply"))
+            self._log(f"registered img {added} | landmarks: {state.num_landmarks}")
+
+        if out_folder:
+            self._save(state, os.path.join(out_folder, "clouds/cloud_final.ply"))
+        if self.verbose:
+            self.timer.print_timings()
+        return state
+
+    # ------------------------------------------------------------------
+    def detect_features(self, img_folder: str) -> ReconstructionState:
+        cfg = self.config
+        imgs = io_images.load_folder(img_folder, cfg.img_max_size)
+        if len(imgs) < 2:
+            raise ValueError(f"need at least 2 images, found {len(imgs)} in {img_folder}")
+        gray, shapes, rgb = io_images.pad_batch(imgs)
+        feats = sift.detect_and_describe(
+            jnp.asarray(gray), jnp.asarray(shapes),
+            max_keypoints=cfg.max_keypoints,
+            num_scales=cfg.sift_num_scales,
+            contrast_thresh=cfg.sift_contrast_thresh,
+            edge_thresh=cfg.sift_edge_thresh,
+            sigma0=cfg.sift_sigma0)
+        xy = np.asarray(feats.xy)
+        mask = np.asarray(feats.mask)
+        # per-feature color pickup (SequentialReconstructor.cpp:99-106)
+        n, k = mask.shape
+        xi = np.clip(xy[..., 0].astype(np.int32), 0, rgb.shape[2] - 1)
+        yi = np.clip(xy[..., 1].astype(np.int32), 0, rgb.shape[1] - 1)
+        colors = rgb[np.arange(n)[:, None], yi, xi]
+
+        intr = np.stack([
+            np.asarray(cam.make_intrinsics(int(h), int(w), cfg.focal_px,
+                                           cfg.focal_length_factor))
+            for h, w in shapes])
+        state = ReconstructionState(
+            num_images=n, max_keypoints=k,
+            xy=xy, desc=np.asarray(feats.desc), kp_mask=mask,
+            colors=colors, shapes=shapes, intrinsics=intr)
+        self._log(f"detected features: {mask.sum(1).tolist()}")
+        return state
+
+    # ------------------------------------------------------------------
+    def match_features(self, state: ReconstructionState, filter: bool = True) -> None:
+        cfg = self.config
+        pair_idx = pairing.exhaustive_pairs(state.num_images)
+        midx, mmask = knn.match_all_pairs(
+            jnp.asarray(state.desc), jnp.asarray(state.kp_mask),
+            jnp.asarray(pair_idx),
+            ratio_thresh=cfg.ratio_thresh, cross_check=cfg.cross_check)
+        midx = np.asarray(midx)
+        mmask = np.asarray(mmask)
+
+        if filter:
+            mmask = self._filter_matches(state, pair_idx, midx, mmask)
+
+        for p, (i, j) in enumerate(pair_idx):
+            m = np.where(mmask[p], midx[p], -1).astype(np.int32)
+            if (m >= 0).sum() > 0:
+                state.matches[(int(i), int(j))] = m
+
+    def _filter_matches(self, state, pair_idx, midx, mmask) -> np.ndarray:
+        """Epipolar gate on every pair, in fixed-size chunks."""
+        cfg = self.config
+        P = pair_idx.shape[0]
+        K = state.max_keypoints
+        B = 8
+        out = mmask.copy()
+        raw_counts = mmask.sum(1)
+        xy = state.xy
+        for s in range(0, P, B):
+            chunk = range(s, min(s + B, P))
+            p1 = np.zeros((B, K, 2), np.float32)
+            p2 = np.zeros((B, K, 2), np.float32)
+            m = np.zeros((B, K), bool)
+            for bi, p in enumerate(chunk):
+                i, j = pair_idx[p]
+                p1[bi] = xy[i]
+                p2[bi] = xy[j, np.clip(midx[p], 0, K - 1)]
+                m[bi] = mmask[p]
+            keys = jax.random.split(self._next_key(), B)
+            inl = np.asarray(_filter_chunk(
+                keys, jnp.asarray(p1), jnp.asarray(p2), jnp.asarray(m),
+                num_hypotheses=cfg.ransac_num_hypotheses,
+                thresh_px=cfg.fundamental_thresh_px))
+            for bi, p in enumerate(chunk):
+                # need >= 7 matches for F estimation; keep raw otherwise
+                # (SequentialReconstructor.cpp:237)
+                if raw_counts[p] >= cfg.min_matches_for_filter:
+                    out[p] = inl[bi] & mmask[p]
+        return out
+
+    # ------------------------------------------------------------------
+    def choose_initial_pair(self, state: ReconstructionState) -> Tuple[int, int, np.ndarray]:
+        """Highest-match-count pair -> essential -> cheirality pose
+        (chooseInitialPair parity, SequentialReconstructor.cpp:325-375)."""
+        cfg = self.config
+        best = max(state.matches.items(), key=lambda kv: (kv[1] >= 0).sum())
+        (i1, i2), m = best
+        sel = np.where(m >= 0)[0]
+        K = state.max_keypoints
+        uv1 = np.zeros((K, 2), np.float32)
+        uv2 = np.zeros((K, 2), np.float32)
+        mask = np.zeros(K, bool)
+        uv1[: sel.size] = state.xy[i1, sel]
+        uv2[: sel.size] = state.xy[i2, m[sel]]
+        mask[: sel.size] = True
+        pose, inl, cnt = _initial_pose(
+            self._next_key(), jnp.asarray(uv1), jnp.asarray(uv2),
+            jnp.asarray(state.intrinsics[i1]), jnp.asarray(state.intrinsics[i2]),
+            jnp.asarray(mask),
+            num_hypotheses=cfg.ransac_num_hypotheses,
+            thresh_px=cfg.essential_thresh_px)
+        self._log(f"essential inliers: {int(cnt)} / {sel.size}")
+        return int(i1), int(i2), np.asarray(pose)
+
+    # ------------------------------------------------------------------
+    def _batch_triangulate(self, state: ReconstructionState,
+                           obs_img: np.ndarray, obs_feat: np.ndarray,
+                           obs_mask: np.ndarray):
+        """Triangulate+validate a batch of candidate landmarks given their
+        (n, V) observation tables. Returns (xyz, valid)."""
+        cfg = self.config
+        n, V = obs_img.shape
+        n_pad = _next_pow2(n)
+        oi = np.zeros((n_pad, V), np.int32)
+        of = np.zeros((n_pad, V), np.int32)
+        om = np.zeros((n_pad, V), bool)
+        oi[:n] = obs_img; of[:n] = obs_feat; om[:n] = obs_mask
+
+        poses_all = np.stack([state.poses.get(i, np.eye(4, dtype=np.float32))
+                              for i in range(state.num_images)])
+        P = poses_all[oi]
+        I = state.intrinsics[oi]
+        U = state.xy[oi, of]
+        xyz, valid = _triangulate_validate(
+            jnp.asarray(P), jnp.asarray(I), jnp.asarray(U), jnp.asarray(om),
+            max_err=cfg.max_projection_error,
+            min_angle=cfg.min_triangulation_angle)
+        return np.asarray(xyz)[:n], np.asarray(valid)[:n]
+
+    def triangulate_initial_pair(self, state: ReconstructionState, i1: int, i2: int) -> None:
+        m = state.match_lookup(i1, i2)
+        f1 = np.where(m >= 0)[0]
+        f2 = m[f1]
+        n = f1.size
+        V = MAX_VIEWS_PER_LANDMARK
+        obs_img = np.zeros((n, V), np.int32)
+        obs_feat = np.zeros((n, V), np.int32)
+        obs_mask = np.zeros((n, V), bool)
+        obs_img[:, 0] = i1; obs_feat[:, 0] = f1
+        obs_img[:, 1] = i2; obs_feat[:, 1] = f2
+        obs_mask[:, :2] = True
+        xyz, valid = self._batch_triangulate(state, obs_img, obs_feat, obs_mask)
+        rgb = state.colors[i1, f1]
+        state.add_landmarks(xyz[valid], rgb[valid], obs_img[valid],
+                            obs_feat[valid], obs_mask[valid], initial=True)
+
+    # ------------------------------------------------------------------
+    def calc_2d3d_matches(self, state: ReconstructionState,
+                          candidates: List[int]) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
+        """2d-3d correspondence mining (calc2d3dMatches parity,
+        SequentialReconstructor.cpp:643-695), vectorized per candidate:
+        landmarks seen in a registered image whose features match the
+        candidate's unassigned features."""
+        out = {}
+        for c in candidates:
+            lm_all, feat_all = [], []
+            for r in state.registered:
+                m = state.match_lookup(r, c)
+                if m is None:
+                    continue
+                fr = np.where((state.feat2lm[r] >= 0) & (m >= 0))[0]
+                if fr.size == 0:
+                    continue
+                fc = m[fr]
+                lmids = state.feat2lm[r, fr]
+                ok = state.feat2lm[c, fc] == -1
+                lm_all.append(lmids[ok])
+                feat_all.append(fc[ok])
+            if lm_all:
+                lm_cat = np.concatenate(lm_all)
+                feat_cat = np.concatenate(feat_all)
+                # dedupe candidate features (map semantics of the reference's
+                # featureMatches): keep the first landmark per feature
+                _, first = np.unique(feat_cat, return_index=True)
+                out[c] = (lm_cat[np.sort(first)], feat_cat[np.sort(first)])
+            else:
+                out[c] = (np.zeros(0, np.int32), np.zeros(0, np.int32))
+        return out
+
+    def rank_next_images(self, state: ReconstructionState,
+                         matches_2d3d: Dict[int, Tuple[np.ndarray, np.ndarray]]) -> List[int]:
+        """Next-view ranking (rankNextImages parity,
+        SequentialReconstructor.cpp:697-759)."""
+        cfg = self.config
+        scores = {}
+        for c, (lm_ids, feat_ids) in matches_2d3d.items():
+            if cfg.ranking_mode == "total":
+                scores[c] = lm_ids.size
+            else:
+                h, w = state.shapes[c]
+                g = cfg.ranking_grid
+                xy = state.xy[c, feat_ids]
+                cx = np.clip((g * xy[:, 0] / float(w)).astype(int), 0, g - 1)
+                cy = np.clip((g * xy[:, 1] / float(h)).astype(int), 0, g - 1)
+                scores[c] = np.unique(cy * g + cx).size
+        ranked = sorted(scores, key=lambda c: -scores[c])
+        passing = [c for c in ranked if scores[c] > cfg.min_2d3d_match_num]
+        if not passing and ranked:
+            # the reference would crash on an empty list (cpp:793); degrade
+            # gracefully to the best-scoring candidate instead
+            passing = ranked[:1]
+        return passing
+
+    def register_image_pnp(self, state: ReconstructionState, img: int,
+                           lm_ids: np.ndarray, feat_ids: np.ndarray):
+        """PnP registration (registerImagePnP parity,
+        SequentialReconstructor.cpp:559-638). Returns (pose, inlier sel)."""
+        cfg = self.config
+        n = lm_ids.size
+        cap = _next_pow2(n, lo=256)
+        pts3d = np.zeros((cap, 3), np.float32)
+        uv = np.zeros((cap, 2), np.float32)
+        mask = np.zeros(cap, bool)
+        pts3d[:n] = state.lm_xyz[lm_ids]
+        uv[:n] = state.xy[img, feat_ids]
+        mask[:n] = True
+        pose, inl, cnt = _pnp(
+            self._next_key(), jnp.asarray(pts3d), jnp.asarray(uv),
+            jnp.asarray(state.intrinsics[img]), jnp.asarray(mask),
+            num_hypotheses=cfg.pnp_num_hypotheses,
+            thresh_px=cfg.max_projection_error,
+            refine_iters=cfg.pnp_refine_iters)
+        inl = np.asarray(inl)[:n]
+        self._log(f"imgIdx: {img} numInliers: {int(inl.sum())} totalMatches: {n}")
+        return np.asarray(pose), inl
+
+    def triangulate_matched_landmarks(self, state: ReconstructionState, img: int,
+                                      lm_ids: np.ndarray, feat_ids: np.ndarray) -> None:
+        """Attach observations + create new landmarks
+        (triangulateMatchedLandmarks parity, cpp:492-557)."""
+        cfg = self.config
+        pose = state.poses[img]
+        intr = state.intrinsics[img]
+
+        # 1. attach 2d-3d inlier matches as new observations, gated on
+        #    positive depth, L1 reprojection and unassigned feature (cpp:506)
+        if lm_ids.size:
+            pts = state.lm_xyz[lm_ids]
+            local = pts @ pose[:3, :3].T + pose[:3, 3]
+            uv = state.xy[img, feat_ids]
+            err = np.asarray(cam.reprojection_error_l1(
+                jnp.asarray(intr), jnp.asarray(local), jnp.asarray(uv)))
+            ok = (local[:, 2] > 0) & (err < cfg.max_projection_error) \
+                & (state.feat2lm[img, feat_ids] == -1)
+            for lm_id, f in zip(lm_ids[ok], feat_ids[ok]):
+                state.add_observation(int(lm_id), img, int(f))
+
+        # 2. unassigned features: two-view triangulation against the first
+        #    registered partner whose matched feature is also unassigned
+        cand = []
+        free = np.where((state.feat2lm[img] == -1) & state.kp_mask[img])[0]
+        for r in state.registered:
+            if r == img:
+                continue
+            m = state.match_lookup(img, r)
+            if m is None:
+                continue
+            partner = m[free]
+            ok = (partner >= 0)
+            ok[ok] &= state.feat2lm[r, partner[ok]] == -1
+            for f, pf in zip(free[ok], partner[ok]):
+                cand.append((img, f, r, pf))
+            free = free[~ok]  # first-match-wins, like the reference's break
+            if free.size == 0:
+                break
+        if not cand:
+            return
+        cand = np.asarray(cand, np.int32)
+        n = cand.shape[0]
+        V = MAX_VIEWS_PER_LANDMARK
+        obs_img = np.zeros((n, V), np.int32)
+        obs_feat = np.zeros((n, V), np.int32)
+        obs_mask = np.zeros((n, V), bool)
+        obs_img[:, 0] = cand[:, 2]; obs_feat[:, 0] = cand[:, 3]
+        obs_img[:, 1] = cand[:, 0]; obs_feat[:, 1] = cand[:, 1]
+        obs_mask[:, :2] = True
+        xyz, valid = self._batch_triangulate(state, obs_img, obs_feat, obs_mask)
+        rgb = state.colors[obs_img[:, 0], obs_feat[:, 0]]
+        state.add_landmarks(xyz[valid], rgb[valid], obs_img[valid],
+                            obs_feat[valid], obs_mask[valid])
+
+    def add_next_view(self, state: ReconstructionState) -> Optional[int]:
+        """addNextView parity (cpp:761-813)."""
+        candidates = [i for i in range(state.num_images) if i not in state.poses]
+        if not candidates:
+            return None
+        matches_2d3d = self.calc_2d3d_matches(state, candidates)
+        ranked = self.rank_next_images(state, matches_2d3d)
+        if not ranked:
+            return None
+        img = ranked[0]
+        lm_ids, feat_ids = matches_2d3d[img]
+        if lm_ids.size < 6:
+            return None
+        pose, inl = self.register_image_pnp(state, img, lm_ids, feat_ids)
+        state.poses[img] = pose
+        self.triangulate_matched_landmarks(state, img, lm_ids[inl], feat_ids[inl])
+        state.registered.append(img)
+        return img
+
+    # ------------------------------------------------------------------
+    def check_landmark_validity(self, state: ReconstructionState,
+                                drop: bool = False) -> np.ndarray:
+        """Batched validity sweep; optionally drops failing observations
+        in place (the reference mutates during the check, cpp:896)."""
+        cfg = self.config
+        L = state.num_landmarks
+        if L == 0:
+            return np.zeros(0, bool)
+        L_pad = _next_pow2(L)
+        V = MAX_VIEWS_PER_LANDMARK
+        xyz = np.zeros((L_pad, 3), np.float32)
+        oi = np.zeros((L_pad, V), np.int32)
+        of = np.zeros((L_pad, V), np.int32)
+        om = np.zeros((L_pad, V), bool)
+        xyz[:L] = state.lm_xyz
+        oi[:L] = state.lm_obs_img; of[:L] = state.lm_obs_feat; om[:L] = state.lm_obs_mask
+        poses_all = np.stack([state.poses.get(i, np.eye(4, dtype=np.float32))
+                              for i in range(state.num_images)])
+        valid, new_mask = _check_landmarks(
+            jnp.asarray(xyz), jnp.asarray(poses_all), jnp.asarray(state.intrinsics),
+            jnp.asarray(oi), jnp.asarray(of), jnp.asarray(om),
+            jnp.asarray(state.xy),
+            max_err=cfg.max_projection_error,
+            min_angle=cfg.min_triangulation_angle)
+        valid = np.asarray(valid)[:L]
+        new_mask = np.asarray(new_mask)[:L]
+        if drop:
+            state.drop_observations(state.lm_obs_mask & ~new_mask)
+        return valid
+
+    # ------------------------------------------------------------------
+    def bundle_adjust(self, state: ReconstructionState) -> None:
+        """Global BA over all registered cameras and landmarks
+        (BundleAdjuster::adjust parity)."""
+        cfg = self.config
+        order = state.registered
+        C = len(order)
+        C_pad = _round_up(C, 8)
+        g2l = {g: l for l, g in enumerate(order)}
+
+        cam_params = np.zeros((C_pad, 12), np.float32)
+        for g, l in g2l.items():
+            T = state.poses[g]
+            aa = np.asarray(se3.rotation_to_angle_axis(jnp.asarray(T[:3, :3])))
+            cam_params[l, :3] = aa
+            cam_params[l, 3:6] = T[:3, 3]
+            cam_params[l, 6:] = state.intrinsics[g]
+
+        obs_lm, obs_img, obs_feat = state.flat_observations()
+        # only observations from registered cameras participate
+        reg_mask = np.isin(obs_img, order)
+        obs_lm, obs_img, obs_feat = obs_lm[reg_mask], obs_img[reg_mask], obs_feat[reg_mask]
+        O = obs_lm.size
+        L = state.num_landmarks
+        O_pad = _next_pow2(max(O, 1))
+        L_pad = _next_pow2(max(L, 1))
+
+        obs_cam_l = np.zeros(O_pad, np.int32)
+        obs_pt = np.zeros(O_pad, np.int32)
+        obs_uv = np.zeros((O_pad, 2), np.float32)
+        obs_mask = np.zeros(O_pad, bool)
+        obs_cam_l[:O] = [g2l[g] for g in obs_img]
+        obs_pt[:O] = obs_lm
+        obs_uv[:O] = state.observation_uv(obs_img, obs_feat)
+        obs_mask[:O] = True
+
+        points = np.zeros((L_pad, 3), np.float32)
+        points[:L] = state.lm_xyz
+
+        cam_free = np.zeros((C_pad, 12), np.float32)
+        cam_free[:C] = np.asarray(ba_lm.make_cam_free_mask(
+            C, cfg.ba_intrinsics_free_min_cams))
+
+        prob = ba_lm.BAProblem(
+            cam_params=jnp.asarray(cam_params),
+            points=jnp.asarray(points),
+            obs_cam=jnp.asarray(obs_cam_l),
+            obs_pt=jnp.asarray(obs_pt),
+            obs_uv=jnp.asarray(obs_uv),
+            obs_mask=jnp.asarray(obs_mask),
+            cam_free=jnp.asarray(cam_free))
+        max_iters = cfg.ba_max_iters_small if C < 10 else cfg.ba_max_iters_large
+        result = ba_lm.solve(prob, max_iters=max_iters,
+                             init_lambda=cfg.ba_init_lambda,
+                             lambda_up=cfg.ba_lambda_up,
+                             lambda_down=cfg.ba_lambda_down,
+                             ftol=cfg.ba_ftol,
+                             focal_upper_bound=cfg.ba_focal_upper_bound)
+        self._log(f"BA: cost {float(result.cost_initial):.1f} -> "
+                  f"{float(result.cost_final):.1f} in {int(result.iterations)} iters")
+
+        new_cams = np.asarray(result.cam_params)
+        for g, l in g2l.items():
+            R = np.asarray(se3.angle_axis_to_rotation(jnp.asarray(new_cams[l, :3])))
+            T = np.eye(4, dtype=np.float32)
+            T[:3, :3] = R
+            T[:3, 3] = new_cams[l, 3:6]
+            state.poses[g] = T
+            state.intrinsics[g] = new_cams[l, 6:]
+        state.lm_xyz = np.asarray(result.points)[:L]
+
+    # ------------------------------------------------------------------
+    def _save(self, state: ReconstructionState, path: str,
+              inliers: Optional[np.ndarray] = None) -> None:
+        poses = np.stack([state.poses[i] for i in state.registered]) \
+            if state.registered else None
+        ply.save_cloud(path, state.lm_xyz, state.lm_rgb, poses, inliers)

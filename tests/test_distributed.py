@@ -1,0 +1,67 @@
+"""Sharded matching + distributed BA on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from reconstructor_tpu.ba import lm, distributed
+from reconstructor_tpu.parallel import sharding
+from tests.test_ba import make_ba_problem
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    return sharding.make_mesh(8)
+
+
+class TestShardedMatching:
+    def test_matches_equal_single_device(self, mesh):
+        rng = np.random.default_rng(0)
+        desc = rng.standard_normal((6, 64, 32)).astype(np.float32)
+        desc /= np.linalg.norm(desc, axis=-1, keepdims=True)
+        mask = np.ones((6, 64), bool)
+        from reconstructor_tpu.matching import knn, pairs
+        p = pairs.exhaustive_pairs(6)  # 15 pairs -> padded to 16
+        midx_ref, mmask_ref = knn.match_all_pairs(
+            jnp.asarray(desc), jnp.asarray(mask), jnp.asarray(p))
+        midx, mmask = sharding.match_all_pairs_sharded(mesh, desc, mask, p)
+        np.testing.assert_array_equal(midx, np.asarray(midx_ref))
+        np.testing.assert_array_equal(mmask, np.asarray(mmask_ref))
+
+
+class TestDistributedBA:
+    def test_pcg_matches_dense_schur(self):
+        rng = np.random.default_rng(1)
+        prob, cams_gt, pts_gt = make_ba_problem(rng, n_cams=4, n_pts=100)
+        dense = lm.solve(prob, max_iters=30)
+        pcg = distributed.solve_pcg(prob, max_iters=30, cg_iters=100, cg_tol=1e-8)
+        rms_d = np.sqrt(2 * float(dense.cost_final) / prob.obs_uv.shape[0])
+        rms_p = np.sqrt(2 * float(pcg.cost_final) / prob.obs_uv.shape[0])
+        assert rms_p < 0.1 and rms_d < 0.1
+
+    def test_sharded_solve_runs_and_converges(self, mesh):
+        rng = np.random.default_rng(2)
+        prob, cams_gt, pts_gt = make_ba_problem(rng, n_cams=4, n_pts=128)
+        # pad observations to a multiple of 8 for even sharding
+        O = prob.obs_uv.shape[0]
+        O_pad = ((O + 7) // 8) * 8
+        pad = O_pad - O
+        prob = prob._replace(
+            obs_cam=jnp.pad(prob.obs_cam, (0, pad)),
+            obs_pt=jnp.pad(prob.obs_pt, (0, pad)),
+            obs_uv=jnp.pad(prob.obs_uv, ((0, pad), (0, 0))),
+            obs_mask=jnp.pad(prob.obs_mask, (0, pad)),
+        )
+        result = distributed.solve_distributed(mesh, prob, max_iters=30,
+                                               cg_iters=100, cg_tol=1e-8)
+        rms = np.sqrt(2 * float(result.cost_final) / O)
+        assert rms < 0.1
+
+    def test_gauge_respected(self):
+        rng = np.random.default_rng(3)
+        prob, _, _ = make_ba_problem(rng, n_cams=4, n_pts=64)
+        result = distributed.solve_pcg(prob, max_iters=10)
+        np.testing.assert_array_equal(np.asarray(result.cam_params[0]),
+                                      np.asarray(prob.cam_params[0]))
