@@ -1,0 +1,235 @@
+"""Parity tests: JAX SuperPoint/SuperGlue vs torch replicas.
+
+The reference consumes TorchScript checkpoints whose blobs are absent
+from the snapshot (SURVEY.md §2 #4/#6). To guarantee our JAX modules +
+weight converters are faithful, these tests build torch models with the
+exact magicleap module naming, randomize their weights, convert the
+state_dict, and require the JAX forward to match the torch forward.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+import torch.nn as nn  # noqa: E402
+
+from reconstructor_tpu.features import superpoint as sp  # noqa: E402
+from reconstructor_tpu.matching import superglue as sg  # noqa: E402
+
+
+# ----------------------------------------------------------------------
+# torch replicas (magicleap naming)
+# ----------------------------------------------------------------------
+
+class TorchSuperPoint(nn.Module):
+    def __init__(self):
+        super().__init__()
+        c = [64, 64, 128, 128, 256]
+        self.relu = nn.ReLU(inplace=True)
+        self.pool = nn.MaxPool2d(2, 2)
+        self.conv1a = nn.Conv2d(1, 64, 3, 1, 1)
+        self.conv1b = nn.Conv2d(64, 64, 3, 1, 1)
+        self.conv2a = nn.Conv2d(64, 64, 3, 1, 1)
+        self.conv2b = nn.Conv2d(64, 64, 3, 1, 1)
+        self.conv3a = nn.Conv2d(64, 128, 3, 1, 1)
+        self.conv3b = nn.Conv2d(128, 128, 3, 1, 1)
+        self.conv4a = nn.Conv2d(128, 128, 3, 1, 1)
+        self.conv4b = nn.Conv2d(128, 128, 3, 1, 1)
+        self.convPa = nn.Conv2d(128, 256, 3, 1, 1)
+        self.convPb = nn.Conv2d(256, 65, 1, 1, 0)
+        self.convDa = nn.Conv2d(128, 256, 3, 1, 1)
+        self.convDb = nn.Conv2d(256, 256, 1, 1, 0)
+
+    def forward(self, x):
+        x = self.relu(self.conv1a(x)); x = self.relu(self.conv1b(x)); x = self.pool(x)
+        x = self.relu(self.conv2a(x)); x = self.relu(self.conv2b(x)); x = self.pool(x)
+        x = self.relu(self.conv3a(x)); x = self.relu(self.conv3b(x)); x = self.pool(x)
+        x = self.relu(self.conv4a(x)); x = self.relu(self.conv4b(x))
+        cPa = self.relu(self.convPa(x))
+        semi = self.convPb(cPa)
+        cDa = self.relu(self.convDa(x))
+        desc = self.convDb(cDa)
+        return semi, desc
+
+
+def torch_mlp(channels):
+    layers = []
+    for i in range(1, len(channels)):
+        layers.append(nn.Conv1d(channels[i - 1], channels[i], 1, bias=True))
+        if i < len(channels) - 1:
+            layers.append(nn.BatchNorm1d(channels[i]))
+            layers.append(nn.ReLU())
+    return nn.Sequential(*layers)
+
+
+class TorchKenc(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.encoder = torch_mlp([3, 32, 64, 128, 256, 256])
+
+    def forward(self, kpts, scores):
+        inputs = torch.cat([kpts.transpose(1, 2), scores.unsqueeze(1)], dim=1)
+        return self.encoder(inputs)
+
+
+class TorchMHA(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.merge = nn.Conv1d(256, 256, 1)
+        self.proj = nn.ModuleList([nn.Conv1d(256, 256, 1) for _ in range(3)])
+
+    def forward(self, query, key, value):
+        b = query.size(0)
+        q, k, v = [l(x).view(b, 64, 4, -1) for l, x in
+                   zip(self.proj, (query, key, value))]
+        scores = torch.einsum("bdhn,bdhm->bhnm", q, k) / 64 ** 0.5
+        prob = torch.nn.functional.softmax(scores, dim=-1)
+        x = torch.einsum("bhnm,bdhm->bdhn", prob, v)
+        return self.merge(x.contiguous().view(b, 256, -1))
+
+
+class TorchAttnProp(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.attn = TorchMHA()
+        self.mlp = torch_mlp([512, 512, 256])
+
+    def forward(self, x, source):
+        message = self.attn(x, source, source)
+        return self.mlp(torch.cat([x, message], dim=1))
+
+
+class TorchGNN(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.layers = nn.ModuleList([TorchAttnProp() for _ in range(18)])
+
+    def forward(self, d0, d1):
+        for i, layer in enumerate(self.layers):
+            if i % 2 == 0:
+                s0, s1 = d0, d1
+            else:
+                s0, s1 = d1, d0
+            d0 = d0 + layer(d0, s0)
+            d1 = d1 + layer(d1, s1)
+        return d0, d1
+
+
+class TorchSuperGlue(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.kenc = TorchKenc()
+        self.gnn = TorchGNN()
+        self.final_proj = nn.Conv1d(256, 256, 1, bias=True)
+        self.bin_score = nn.Parameter(torch.tensor(1.0))
+
+
+# ----------------------------------------------------------------------
+
+class TestSuperPointParity:
+    def test_forward_matches_torch(self):
+        torch.manual_seed(0)
+        net = TorchSuperPoint().eval()
+        sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+        params = sp.params_from_torch_state_dict(sd)
+
+        rng = np.random.default_rng(0)
+        img = rng.uniform(0, 1, (2, 64, 96)).astype(np.float32)
+        with torch.no_grad():
+            semi_t, desc_t = net(torch.from_numpy(img[:, None]))
+        semi_j, desc_j = sp.forward(params, jnp.asarray(img))
+        np.testing.assert_allclose(np.asarray(semi_j),
+                                   semi_t.numpy().transpose(0, 2, 3, 1), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(desc_j),
+                                   desc_t.numpy().transpose(0, 2, 3, 1), atol=2e-4)
+
+    def test_decode_shapes_and_gates(self):
+        key = jax.random.PRNGKey(0)
+        params = sp.init_params(key)
+        rng = np.random.default_rng(1)
+        gray = rng.uniform(0, 1, (1, 64, 96)).astype(np.float32)
+        feats = sp.detect_and_describe(params, jnp.asarray(gray),
+                                       jnp.asarray([[64, 96]], jnp.int32),
+                                       max_keypoints=128, conf_thresh=1e-4)
+        xy = np.asarray(feats.xy[0])[np.asarray(feats.mask[0])]
+        if xy.size:
+            assert xy[:, 0].min() >= 4 and xy[:, 0].max() < 96 - 4
+            assert xy[:, 1].min() >= 4 and xy[:, 1].max() < 64 - 4
+        norms = np.linalg.norm(np.asarray(feats.desc[0])[np.asarray(feats.mask[0])], axis=-1)
+        if norms.size:
+            np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+
+
+class TestSuperGlueParity:
+    def _torch_forward(self, net, desc0, desc1, xy0n, xy1n, s0, s1):
+        with torch.no_grad():
+            d0 = torch.from_numpy(desc0.T[None])   # (1, 256, M)
+            d1 = torch.from_numpy(desc1.T[None])
+            k0 = torch.from_numpy(xy0n[None])      # (1, M, 2)
+            k1 = torch.from_numpy(xy1n[None])
+            d0 = d0 + net.kenc(k0, torch.from_numpy(s0[None]))
+            d1 = d1 + net.kenc(k1, torch.from_numpy(s1[None]))
+            d0, d1 = net.gnn(d0, d1)
+            m0 = net.final_proj(d0)
+            m1 = net.final_proj(d1)
+            scores = torch.einsum("bdn,bdm->bnm", m0, m1) / 256 ** 0.5
+        return scores[0].numpy()
+
+    def test_gnn_scores_match_torch(self):
+        torch.manual_seed(1)
+        net = TorchSuperGlue().eval()
+        sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+        params = sg.params_from_torch_state_dict(sd)
+
+        rng = np.random.default_rng(2)
+        M, N = 24, 20
+        desc0 = rng.standard_normal((M, 256)).astype(np.float32)
+        desc1 = rng.standard_normal((N, 256)).astype(np.float32)
+        xy0n = rng.uniform(-0.7, 0.7, (M, 2)).astype(np.float32)
+        xy1n = rng.uniform(-0.7, 0.7, (N, 2)).astype(np.float32)
+        s0 = rng.uniform(0, 1, M).astype(np.float32)
+        s1 = rng.uniform(0, 1, N).astype(np.float32)
+
+        scores_t = self._torch_forward(net, desc0, desc1, xy0n, xy1n, s0, s1)
+
+        f0, f1 = sg.gnn_forward(params, jnp.asarray(desc0), jnp.asarray(desc1),
+                                jnp.asarray(xy0n), jnp.asarray(xy1n),
+                                jnp.asarray(s0), jnp.asarray(s1),
+                                jnp.ones(M, bool), jnp.ones(N, bool))
+        scores_j = np.asarray(jnp.einsum("md,nd->mn", f0, f1) / 256 ** 0.5)
+        np.testing.assert_allclose(scores_j, scores_t, atol=3e-3)
+
+    def test_sinkhorn_doubly_stochastic(self):
+        rng = np.random.default_rng(3)
+        M, N = 12, 10
+        scores = jnp.asarray(rng.standard_normal((M, N)).astype(np.float32))
+        Z = sg.log_sinkhorn(scores, jnp.asarray(0.5), jnp.ones(M, bool),
+                            jnp.ones(N, bool), 100)
+        P = np.exp(np.asarray(Z))
+        # after the final -norm shift (magicleap convention) every regular
+        # row and column of the coupling sums to 1
+        np.testing.assert_allclose(P[:-1].sum(axis=1), 1.0, rtol=1e-3)
+        np.testing.assert_allclose(P[:, :-1].sum(axis=0), 1.0, rtol=1e-3)
+
+    def test_end_to_end_matches_identical_descriptors(self):
+        """With identical descriptor sets, SuperGlue should match i->i."""
+        key = jax.random.PRNGKey(0)
+        params = sg.init_params(key)
+        rng = np.random.default_rng(4)
+        M = 16
+        desc = rng.standard_normal((M, 256)).astype(np.float32)
+        desc /= np.linalg.norm(desc, axis=-1, keepdims=True)
+        xy = rng.uniform(0, 100, (M, 2)).astype(np.float32)
+        s = np.ones(M, np.float32)
+        idx, ok, msc = sg.match_pair(
+            params, jnp.asarray(desc), jnp.asarray(desc),
+            jnp.asarray(xy), jnp.asarray(xy), jnp.asarray(s), jnp.asarray(s),
+            jnp.ones(M, bool), jnp.ones(M, bool),
+            jnp.asarray([100, 100], jnp.int32), jnp.asarray([100, 100], jnp.int32),
+            sinkhorn_iters=50, score_thresh=0.0)
+        # random weights: just require shape sanity and self-consistency
+        assert idx.shape == (M,)
+        matched = np.asarray(idx)[np.asarray(ok)]
+        assert np.all(matched >= 0)
