@@ -45,6 +45,10 @@ class ReconstructorConfig:
     superpoint_conf_thresh: float = 0.015
     superpoint_nms_radius: int = 4
     superpoint_border: int = 4
+    # torch checkpoint paths (magicleap superpoint_v1.pth /
+    # superglue_outdoor.pth); None -> random init (tests only)
+    superpoint_weights: Optional[str] = None
+    superglue_weights: Optional[str] = None
 
     # ---- matching -------------------------------------------------------
     matcher: str = "knn"             # "knn" (FLANN equivalent) | "superglue"
@@ -68,6 +72,7 @@ class ReconstructorConfig:
     ranking_grid: int = 32               # 32x32 occupancy cells
     pnp_num_hypotheses: int = 2048
     pnp_refine_iters: int = 10
+    pnp_min_inliers: int = 12        # reject registrations weaker than this
 
     # ---- bundle adjustment ----------------------------------------------
     ba_max_iters_small: int = 150        # <10 cameras (BundleAdjuster.cpp:135)

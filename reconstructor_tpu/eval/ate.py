@@ -1,0 +1,113 @@
+"""Absolute trajectory error vs the reference's golden reconstruction.
+
+The reference ships ``cloud_fountain.ply`` (45,912 vertices: colored
+landmarks followed by 25 green (0,250,0) camera-center points,
+utils.cpp:349) as its de-facto regression artifact (SURVEY.md §4). ATE
+against that trajectory is BASELINE.json's quality bar.
+
+Monocular reconstructions live in different similarity frames, and the
+golden camera points carry no image ids (they come from unordered_map
+iteration). Alignment therefore runs similarity-ICP: PCA initialization +
+iterated nearest-neighbor Umeyama until assignment fixpoint, reporting
+RMSE over matched camera pairs.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+CAMERA_COLOR = (0, 250, 0)
+
+
+def split_golden_cloud(points: np.ndarray, colors: np.ndarray):
+    """Separate landmark points from the green camera-center markers."""
+    is_cam = np.all(colors == np.asarray(CAMERA_COLOR, colors.dtype), axis=1)
+    return points[~is_cam], points[is_cam]
+
+
+def umeyama(src: np.ndarray, dst: np.ndarray, with_scale: bool = True):
+    """Least-squares similarity transform src -> dst (Umeyama 1991).
+
+    Returns (s, R, t) with dst ~ s * R @ src + t.
+    """
+    mu_s = src.mean(0)
+    mu_d = dst.mean(0)
+    xs = src - mu_s
+    xd = dst - mu_d
+    cov = xd.T @ xs / src.shape[0]
+    U, D, Vt = np.linalg.svd(cov)
+    S = np.eye(3)
+    if np.linalg.det(U) * np.linalg.det(Vt) < 0:
+        S[2, 2] = -1
+    R = U @ S @ Vt
+    if with_scale:
+        var_s = (xs ** 2).sum() / src.shape[0]
+        s = np.trace(np.diag(D) @ S) / var_s
+    else:
+        s = 1.0
+    t = mu_d - s * R @ mu_s
+    return s, R, t
+
+
+def _pca_frame(pts: np.ndarray):
+    mu = pts.mean(0)
+    x = pts - mu
+    _, _, Vt = np.linalg.svd(x, full_matrices=False)
+    scale = np.sqrt((x ** 2).sum() / pts.shape[0])
+    return mu, Vt, scale
+
+
+def align_trajectories_icp(est: np.ndarray, ref: np.ndarray,
+                           num_iters: int = 50) -> Tuple[np.ndarray, float]:
+    """Correspondence-free similarity alignment of two camera-center sets.
+
+    Tries the 4 proper-rotation PCA axis-sign hypotheses as
+    initializations, runs NN-assignment + Umeyama to a fixpoint for each,
+    and keeps the lowest-RMSE result. Returns (est_aligned, rmse).
+    """
+    mu_e, V_e, s_e = _pca_frame(est)
+    mu_r, V_r, s_r = _pca_frame(ref)
+
+    best = (None, np.inf)
+    for sx in (1, -1):
+        for sy in (1, -1):
+            sz = sx * sy  # keep det=+1
+            D = np.diag([sx, sy, sz]).astype(float)
+            R0 = V_r.T @ D @ V_e
+            s0 = s_r / s_e
+            cur = (est - mu_e) @ R0.T * s0 + mu_r
+            prev_assign = None
+            for _ in range(num_iters):
+                d2 = ((cur[:, None, :] - ref[None, :, :]) ** 2).sum(-1)
+                assign = d2.argmin(1)
+                if prev_assign is not None and np.array_equal(assign, prev_assign):
+                    break
+                prev_assign = assign
+                s, R, t = umeyama(est, ref[assign])
+                cur = est @ (s * R).T + t
+            rmse = float(np.sqrt(((cur - ref[prev_assign]) ** 2).sum(-1).mean()))
+            if rmse < best[1]:
+                best = (cur, rmse)
+    return best
+
+
+def ate_vs_golden(est_centers: np.ndarray, golden_ply_path: str) -> dict:
+    """Full evaluation: load golden cloud, align, report ATE metrics.
+
+    The RMSE is normalized by the golden trajectory extent as well, so the
+    number is comparable across scene scales.
+    """
+    from reconstructor_tpu.io import ply
+    pts, cols = ply.load_cloud(golden_ply_path)
+    _, ref_centers = split_golden_cloud(pts, cols)
+    aligned, rmse = align_trajectories_icp(est_centers, ref_centers)
+    extent = float(np.linalg.norm(ref_centers.max(0) - ref_centers.min(0)))
+    return {
+        "ate_rmse": rmse,
+        "ate_rmse_normalized": rmse / extent,
+        "trajectory_extent": extent,
+        "num_est": int(est_centers.shape[0]),
+        "num_ref": int(ref_centers.shape[0]),
+    }

@@ -94,11 +94,30 @@ def estimate_fundamental(key: jax.Array, pts1: jnp.ndarray, pts2: jnp.ndarray,
         key, (pts1, pts2), mask, solver, sampson_distance,
         sample_size=8, num_hypotheses=num_hypotheses,
         inlier_thresh=thresh_px * thresh_px)
-    # Final least-squares refit on all inliers (masked rows zeroed).
-    F = _refit(pts1, pts2, inl, essential=False)
-    d = sampson_distance(F, pts1, pts2)
-    inl = (d < thresh_px * thresh_px) & mask
-    return F, inl, jnp.sum(inl)
+    F, inl, cnt = _refit_if_better(F, inl, cnt, pts1, pts2, mask,
+                                   thresh_px * thresh_px, essential=False)
+    return F, inl, cnt
+
+
+def _refit_if_better(M_best, inl_best, cnt_best, pts1, pts2, mask,
+                     thresh, essential: bool):
+    """All-inlier least-squares refit, kept only if it scores at least as
+    many inliers as the RANSAC-best minimal model.
+
+    The guard matters numerically: the refit's 9x9 normal-matrix eigh in
+    f32 cannot always resolve a nullspace whose eigenvalue is ~1e-7 of the
+    spectrum (hundreds of near-perfect inlier rows), and can return a
+    *worse* model than the clean 8-point minimal solve. Model selection by
+    inlier count makes the refit strictly non-harmful.
+    """
+    M_refit = _refit(pts1, pts2, inl_best, essential=essential)
+    d = sampson_distance(M_refit, pts1, pts2)
+    inl_refit = (d < thresh) & mask
+    cnt_refit = jnp.sum(inl_refit)
+    better = cnt_refit >= cnt_best
+    M = jnp.where(better, M_refit, M_best)
+    inl = jnp.where(better, inl_refit, inl_best)
+    return M, inl, jnp.maximum(cnt_refit, cnt_best)
 
 
 def _refit(pts1, pts2, mask, essential: bool) -> jnp.ndarray:
@@ -150,10 +169,9 @@ def estimate_essential(key: jax.Array, uv1: jnp.ndarray, uv2: jnp.ndarray,
     E, inl, cnt = ransac.ransac(
         key, (x1, x2), mask, solver, sampson_distance,
         sample_size=8, num_hypotheses=num_hypotheses, inlier_thresh=thresh)
-    E = _refit(x1, x2, inl, essential=True)
-    d = sampson_distance(E, x1, x2)
-    inl = (d < thresh) & mask
-    return E, inl, jnp.sum(inl)
+    E, inl, cnt = _refit_if_better(E, inl, cnt, x1, x2, mask, thresh,
+                                   essential=True)
+    return E, inl, cnt
 
 
 def decompose_essential(E: jnp.ndarray):

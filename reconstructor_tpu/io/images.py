@@ -85,8 +85,25 @@ def list_images(folder: str) -> List[str]:
 def load_folder(folder: str, img_max_size: int = 512,
                 max_workers: int = 8) -> List[LoadedImage]:
     """Threaded decode of a whole folder (replaces the OpenMP parallel-for
-    over images in detectFeatures, SequentialReconstructor.cpp:58)."""
+    over images in detectFeatures, SequentialReconstructor.cpp:58).
+
+    Uses the native C++ libjpeg dataloader (native/reconstructor_native.cpp)
+    when available — DCT-prescaled decode + thread pool, ~3-4x faster than
+    the PIL path it falls back to."""
     paths = list_images(folder)
+    try:
+        from reconstructor_tpu.io import native
+        out = native.decode_batch(paths, img_max_size, num_threads=max_workers)
+    except Exception:
+        out = None
+    if out is not None:
+        gray, shapes, rgb = out
+        images = []
+        for i, p in enumerate(paths):
+            h, w = int(shapes[i, 0]), int(shapes[i, 1])
+            images.append(LoadedImage(path=p, rgb=rgb[i, :h, :w],
+                                      gray=gray[i, :h, :w], downscale=1.0))
+        return images
     with concurrent.futures.ThreadPoolExecutor(max_workers=max_workers) as ex:
         return list(ex.map(lambda p: load_image(p, img_max_size), paths))
 

@@ -205,19 +205,56 @@ class IncrementalReconstructor:
         return state
 
     # ------------------------------------------------------------------
+    def _superpoint_params(self):
+        if not hasattr(self, "_sp_params"):
+            from reconstructor_tpu.features import superpoint as sp
+            path = self.config.superpoint_weights
+            if path:
+                import torch
+                sd = torch.load(path, map_location="cpu")
+                sd = {k: v.numpy() for k, v in sd.items()}
+                self._sp_params = sp.params_from_torch_state_dict(sd)
+            else:
+                self._log("superpoint: no weights configured, random init")
+                self._sp_params = sp.init_params(jax.random.PRNGKey(42))
+        return self._sp_params
+
+    def _superglue_params(self):
+        if not hasattr(self, "_sg_params"):
+            from reconstructor_tpu.matching import superglue as sg
+            path = self.config.superglue_weights
+            if path:
+                import torch
+                sd = torch.load(path, map_location="cpu")
+                sd = {k: v.numpy() for k, v in sd.items()}
+                self._sg_params = sg.params_from_torch_state_dict(sd)
+            else:
+                self._log("superglue: no weights configured, random init")
+                self._sg_params = sg.init_params(jax.random.PRNGKey(43))
+        return self._sg_params
+
     def detect_features(self, img_folder: str) -> ReconstructionState:
         cfg = self.config
         imgs = io_images.load_folder(img_folder, cfg.img_max_size)
         if len(imgs) < 2:
             raise ValueError(f"need at least 2 images, found {len(imgs)} in {img_folder}")
         gray, shapes, rgb = io_images.pad_batch(imgs)
-        feats = sift.detect_and_describe(
-            jnp.asarray(gray), jnp.asarray(shapes),
-            max_keypoints=cfg.max_keypoints,
-            num_scales=cfg.sift_num_scales,
-            contrast_thresh=cfg.sift_contrast_thresh,
-            edge_thresh=cfg.sift_edge_thresh,
-            sigma0=cfg.sift_sigma0)
+        if cfg.detector == "superpoint":
+            from reconstructor_tpu.features import superpoint as sp
+            feats = sp.detect_and_describe(
+                self._superpoint_params(), jnp.asarray(gray), jnp.asarray(shapes),
+                max_keypoints=cfg.max_keypoints,
+                conf_thresh=cfg.superpoint_conf_thresh,
+                nms_radius=cfg.superpoint_nms_radius,
+                border=cfg.superpoint_border)
+        else:
+            feats = sift.detect_and_describe(
+                jnp.asarray(gray), jnp.asarray(shapes),
+                max_keypoints=cfg.max_keypoints,
+                num_scales=cfg.sift_num_scales,
+                contrast_thresh=cfg.sift_contrast_thresh,
+                edge_thresh=cfg.sift_edge_thresh,
+                sigma0=cfg.sift_sigma0)
         xy = np.asarray(feats.xy)
         mask = np.asarray(feats.mask)
         # per-feature color pickup (SequentialReconstructor.cpp:99-106)
@@ -233,7 +270,8 @@ class IncrementalReconstructor:
         state = ReconstructionState(
             num_images=n, max_keypoints=k,
             xy=xy, desc=np.asarray(feats.desc), kp_mask=mask,
-            colors=colors, shapes=shapes, intrinsics=intr)
+            colors=colors, shapes=shapes, intrinsics=intr,
+            kp_score=np.asarray(feats.score))
         self._log(f"detected features: {mask.sum(1).tolist()}")
         return state
 
@@ -241,10 +279,13 @@ class IncrementalReconstructor:
     def match_features(self, state: ReconstructionState, filter: bool = True) -> None:
         cfg = self.config
         pair_idx = pairing.exhaustive_pairs(state.num_images)
-        midx, mmask = knn.match_all_pairs(
-            jnp.asarray(state.desc), jnp.asarray(state.kp_mask),
-            jnp.asarray(pair_idx),
-            ratio_thresh=cfg.ratio_thresh, cross_check=cfg.cross_check)
+        if cfg.matcher == "superglue":
+            midx, mmask = self._match_superglue(state, pair_idx)
+        else:
+            midx, mmask = knn.match_all_pairs(
+                jnp.asarray(state.desc), jnp.asarray(state.kp_mask),
+                jnp.asarray(pair_idx),
+                ratio_thresh=cfg.ratio_thresh, cross_check=cfg.cross_check)
         midx = np.asarray(midx)
         mmask = np.asarray(mmask)
 
@@ -255,6 +296,31 @@ class IncrementalReconstructor:
             m = np.where(mmask[p], midx[p], -1).astype(np.int32)
             if (m >= 0).sum() > 0:
                 state.matches[(int(i), int(j))] = m
+
+    def _match_superglue(self, state: ReconstructionState, pair_idx):
+        """SuperGlue matching over all pairs (FeatureMatcherSuperglue
+        parity: +-0.7 coord normalization, score > 0.5 gate)."""
+        from reconstructor_tpu.matching import superglue as sg
+        cfg = self.config
+        params = self._superglue_params()
+        P = pair_idx.shape[0]
+        K = state.max_keypoints
+        midx = np.full((P, K), -1, np.int32)
+        mmask = np.zeros((P, K), bool)
+        desc = jnp.asarray(state.desc)
+        xy = jnp.asarray(state.xy)
+        score = jnp.asarray(state.kp_score)
+        kmask = jnp.asarray(state.kp_mask)
+        shapes = jnp.asarray(state.shapes)
+        for p, (i, j) in enumerate(pair_idx):
+            idx, ok, _ = sg.match_pair(
+                params, desc[i], desc[j], xy[i], xy[j], score[i], score[j],
+                kmask[i], kmask[j], shapes[i], shapes[j],
+                sinkhorn_iters=cfg.superglue_sinkhorn_iters,
+                score_thresh=cfg.superglue_score_thresh)
+            midx[p] = np.asarray(idx)
+            mmask[p] = np.asarray(ok)
+        return midx, mmask
 
     def _filter_matches(self, state, pair_idx, midx, mmask) -> np.ndarray:
         """Epipolar gate on every pair, in fixed-size chunks."""
@@ -495,17 +561,24 @@ class IncrementalReconstructor:
             return None
         matches_2d3d = self.calc_2d3d_matches(state, candidates)
         ranked = self.rank_next_images(state, matches_2d3d)
-        if not ranked:
-            return None
-        img = ranked[0]
-        lm_ids, feat_ids = matches_2d3d[img]
-        if lm_ids.size < 6:
-            return None
-        pose, inl = self.register_image_pnp(state, img, lm_ids, feat_ids)
-        state.poses[img] = pose
-        self.triangulate_matched_landmarks(state, img, lm_ids[inl], feat_ids[inl])
-        state.registered.append(img)
-        return img
+        for img in ranked:
+            lm_ids, feat_ids = matches_2d3d[img]
+            if lm_ids.size < 6:
+                continue
+            pose, inl = self.register_image_pnp(state, img, lm_ids, feat_ids)
+            # Reject registrations the pose evidence cannot support (the
+            # reference registers unconditionally, cpp:797-801, which lets
+            # 1-inlier PnP poses poison the map; requiring a minimum inlier
+            # support and falling through to the next-ranked candidate is
+            # strictly higher-quality behavior).
+            if int(inl.sum()) < self.config.pnp_min_inliers:
+                self._log(f"rejecting img {img}: only {int(inl.sum())} PnP inliers")
+                continue
+            state.poses[img] = pose
+            self.triangulate_matched_landmarks(state, img, lm_ids[inl], feat_ids[inl])
+            state.registered.append(img)
+            return img
+        return None
 
     # ------------------------------------------------------------------
     def check_landmark_validity(self, state: ReconstructionState,

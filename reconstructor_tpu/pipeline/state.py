@@ -35,6 +35,9 @@ class ReconstructionState:
     shapes: np.ndarray        # (N, 2) int32 (h, w)
     intrinsics: np.ndarray    # (N, 6) float32
 
+    # detector confidences (used by SuperGlue's keypoint encoder)
+    kp_score: Optional[np.ndarray] = None   # (N, K) float32
+
     # matching outputs: matches[(i, j)] = (K,) int32 feat_i -> feat_j or -1
     matches: Dict = dataclasses.field(default_factory=dict)
 
