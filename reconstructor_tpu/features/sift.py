@@ -203,18 +203,23 @@ def _subpixel_offset(dog: jnp.ndarray, d_idx: jnp.ndarray, y: jnp.ndarray,
     return jnp.stack([dx, dy], axis=-1)
 
 
-def _descriptor_at(gauss_level: jnp.ndarray, xy: jnp.ndarray, sigma: jnp.ndarray,
-                   patch_radius: int = 8):
-    """128-d SIFT descriptor at one keypoint from its Gaussian level.
+def _descriptor_at(gauss: jnp.ndarray, s_idx: jnp.ndarray, xy: jnp.ndarray,
+                   sigma: jnp.ndarray, patch_radius: int = 8):
+    """128-d SIFT descriptor at one keypoint of one image.
 
     Gradient orientations are binned into a 4x4 grid of 8-bin histograms
     over a (2R)x(2R) patch scaled by the keypoint sigma, with bilinear
-    spatial weighting and a Gaussian window — the classic formulation,
-    computed densely (no gathers beyond one dynamic patch slice).
+    spatial weighting and a Gaussian window — the classic formulation.
     Orientation invariance: a dominant orientation is first estimated from
     a 36-bin histogram and all gradients are rotated by it.
+
+    ``gauss`` is the image's FULL (S, H, W) scale-space and ``s_idx`` the
+    keypoint's level: sampling indexes the 3D volume directly
+    (gauss[s, y, x] gathers) so vmapping over thousands of keypoints never
+    materializes per-keypoint image copies — the indexing pattern that
+    OOM'd a (25, 2048)-keypoint batch when written as gauss[s_idx] first.
     """
-    H, W = gauss_level.shape
+    S, H, W = gauss.shape
     R = patch_radius
     P = 2 * R  # 16x16 sample grid
 
@@ -223,23 +228,23 @@ def _descriptor_at(gauss_level: jnp.ndarray, xy: jnp.ndarray, sigma: jnp.ndarray
     offs = (jnp.arange(P, dtype=jnp.float32) - (P - 1) / 2.0) * spacing
     gy, gx = jnp.meshgrid(offs, offs, indexing="ij")
 
-    def sample(img, ys, xs):
+    def sample(ys, xs):
         y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, H - 2)
         x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, W - 2)
         fy = ys - y0
         fx = xs - x0
-        v00 = img[y0, x0]
-        v01 = img[y0, x0 + 1]
-        v10 = img[y0 + 1, x0]
-        v11 = img[y0 + 1, x0 + 1]
+        v00 = gauss[s_idx, y0, x0]
+        v01 = gauss[s_idx, y0, x0 + 1]
+        v10 = gauss[s_idx, y0 + 1, x0]
+        v11 = gauss[s_idx, y0 + 1, x0 + 1]
         return (v00 * (1 - fy) * (1 - fx) + v01 * (1 - fy) * fx
                 + v10 * fy * (1 - fx) + v11 * fy * fx)
 
     ys = xy[1] + gy
     xs = xy[0] + gx
     # central-difference gradients via 4 bilinear samples
-    dx = sample(gauss_level, ys, xs + 1.0) - sample(gauss_level, ys, xs - 1.0)
-    dy = sample(gauss_level, ys + 1.0, xs) - sample(gauss_level, ys - 1.0, xs)
+    dx = sample(ys, xs + 1.0) - sample(ys, xs - 1.0)
+    dy = sample(ys + 1.0, xs) - sample(ys - 1.0, xs)
     mag = jnp.sqrt(dx * dx + dy * dy + 1e-12)
     ang = jnp.arctan2(dy, dx)                                  # [-pi, pi]
 
@@ -299,8 +304,7 @@ def compute_descriptors(gauss: jnp.ndarray, xy: jnp.ndarray, scale_idx: jnp.ndar
     """Descriptors for one image's keypoints. gauss: (S, H, W);
     xy (K, 2); scale_idx (K,) int. Returns (K, 128)."""
     def one(kp_xy, s_idx):
-        level = gauss[s_idx]
-        return _descriptor_at(level, kp_xy, sigmas[s_idx])
+        return _descriptor_at(gauss, s_idx, kp_xy, sigmas[s_idx])
     return jax.vmap(one)(xy, scale_idx)
 
 

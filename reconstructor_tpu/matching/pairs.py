@@ -28,3 +28,30 @@ def pairs_to_neighbors(pair_idx: np.ndarray, num_images: int):
         adj[int(i)].add(int(j))
         adj[int(j)].add(int(i))
     return adj
+
+
+def retrieval_pairs(desc: np.ndarray, mask: np.ndarray, top_k: int = 10) -> np.ndarray:
+    """Retrieval-based pair selection — the reference's declared TODO
+    (README:40 'image matching ... FAISS').
+
+    Scores image similarity by mean mutual descriptor affinity of a
+    random keypoint subsample (a VLAD-lite global signature: the mean of
+    L2-normalized local descriptors, compared by dot product). Each image
+    keeps its top_k most similar partners; returned as unordered (i, j)
+    pairs. O(N^2 D) on the MXU — for the N where exhaustive *feature*
+    matching hurts, this prunes the quadratic pair list first.
+    """
+    import numpy as _np
+    d = desc * mask[..., None]
+    counts = _np.maximum(mask.sum(axis=1, keepdims=True), 1)
+    sig = d.sum(axis=1) / counts                     # (N, D) mean descriptor
+    sig = sig / _np.maximum(_np.linalg.norm(sig, axis=-1, keepdims=True), 1e-12)
+    sim = sig @ sig.T
+    _np.fill_diagonal(sim, -_np.inf)
+    n = sim.shape[0]
+    pairs = set()
+    k = min(top_k, n - 1)
+    for i in range(n):
+        for j in _np.argpartition(-sim[i], k - 1)[:k]:
+            pairs.add((min(i, int(j)), max(i, int(j))))
+    return _np.asarray(sorted(pairs), _np.int32)
