@@ -36,7 +36,8 @@ class ReconstructorConfig:
     focal_length_factor: float = 1.2
 
     # ---- feature detection ---------------------------------------------
-    detector: str = "sift"           # "sift" | "superpoint"
+    detector: str = "sift"           # "sift" | "orb" | "superpoint"
+    orb_fast_threshold: float = 0.06
     max_keypoints: int = 2048        # fixed per-image keypoint capacity
     sift_num_scales: int = 12        # full-res scale levels, ratio 2^(1/3)
     sift_sigma0: float = 0.8         # finest detection sigma (native px)

@@ -24,14 +24,22 @@ FX, FY, CX, CY, K1, K2 = 0, 1, 2, 3, 4, 5
 
 
 def make_intrinsics(height, width, focal_px=None, focal_factor: float = 1.2,
+                    use_35mm_prior: bool = False,
                     dtype=jnp.float32) -> jnp.ndarray:
     """Build a [fx, fy, cx, cy, k1, k2] vector.
 
     - known focal: Camera.h:18-27
     - colmap-style prior: f = focal_factor * max(h, w) (Camera.h:45-54)
+    - 35mm-equivalent prior (use_35mm_prior): f = 50mm scaled by the
+      sensor/image diagonal ratio (Camera.h:30-42)
     """
     if focal_px is not None:
         fx = fy = float(focal_px)
+    elif use_35mm_prior:
+        import math
+        diag35mm = 36.0 ** 2 + 24.0 ** 2
+        diag_px = float(width) ** 2 + float(height) ** 2
+        fx = fy = 50.0 * math.sqrt(diag_px / diag35mm)
     else:
         fx = fy = focal_factor * float(max(height, width))
     cx = float(int(width) // 2)

@@ -36,6 +36,30 @@ def make_mesh(num_devices: Optional[int] = None,
     return Mesh(np.asarray(devices), (AXIS,))
 
 
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> Mesh:
+    """Bring up the multi-host runtime and return the global mesh.
+
+    On a TPU pod slice the three arguments resolve automatically from the
+    TPU environment; set them explicitly for CPU/GPU clusters. After this
+    returns, ``jax.devices()`` spans every host's chips and the meshes
+    built by make_mesh() shard over ICI within a slice and DCN across
+    slices — the collectives come from XLA, exactly as in the single-host
+    path (no reference equivalent: the reference is single-process,
+    SURVEY.md §2 parallelism audit).
+    """
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+    return make_mesh()
+
+
 def shard_batch(mesh: Mesh, arr: jnp.ndarray) -> jnp.ndarray:
     """Place ``arr`` sharded along its leading axis over the mesh."""
     return jax.device_put(arr, NamedSharding(mesh, P(AXIS)))

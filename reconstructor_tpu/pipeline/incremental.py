@@ -57,6 +57,17 @@ def _next_pow2(n: int, lo: int = 64) -> int:
     return v
 
 
+def _bucket(n: int, lo: int = 1024, factor: int = 4) -> int:
+    """Coarse shape bucket (x4 growth): every distinct padded shape is a
+    fresh XLA compile — through the remote-compile tunnel that costs tens
+    of seconds — so the incremental loop quantizes its dynamic sizes to a
+    handful of buckets instead of powers of two."""
+    v = lo
+    while v < n:
+        v *= factor
+    return v
+
+
 def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
@@ -247,6 +258,12 @@ class IncrementalReconstructor:
                 conf_thresh=cfg.superpoint_conf_thresh,
                 nms_radius=cfg.superpoint_nms_radius,
                 border=cfg.superpoint_border)
+        elif cfg.detector == "orb":
+            from reconstructor_tpu.features import orb
+            feats = orb.detect_and_describe(
+                jnp.asarray(gray), jnp.asarray(shapes),
+                max_keypoints=cfg.max_keypoints,
+                threshold=cfg.orb_fast_threshold)
         else:
             feats = sift.detect_and_describe(
                 jnp.asarray(gray), jnp.asarray(shapes),
@@ -385,7 +402,7 @@ class IncrementalReconstructor:
         (n, V) observation tables. Returns (xyz, valid)."""
         cfg = self.config
         n, V = obs_img.shape
-        n_pad = _next_pow2(n)
+        n_pad = _bucket(n)
         oi = np.zeros((n_pad, V), np.int32)
         of = np.zeros((n_pad, V), np.int32)
         om = np.zeros((n_pad, V), bool)
@@ -482,7 +499,7 @@ class IncrementalReconstructor:
         SequentialReconstructor.cpp:559-638). Returns (pose, inlier sel)."""
         cfg = self.config
         n = lm_ids.size
-        cap = _next_pow2(n, lo=256)
+        cap = _bucket(n, lo=1024)
         pts3d = np.zeros((cap, 3), np.float32)
         uv = np.zeros((cap, 2), np.float32)
         mask = np.zeros(cap, bool)
@@ -589,7 +606,7 @@ class IncrementalReconstructor:
         L = state.num_landmarks
         if L == 0:
             return np.zeros(0, bool)
-        L_pad = _next_pow2(L)
+        L_pad = _bucket(L, lo=2048)
         V = MAX_VIEWS_PER_LANDMARK
         xyz = np.zeros((L_pad, 3), np.float32)
         oi = np.zeros((L_pad, V), np.int32)
@@ -618,7 +635,7 @@ class IncrementalReconstructor:
         cfg = self.config
         order = state.registered
         C = len(order)
-        C_pad = _round_up(C, 8)
+        C_pad = _round_up(C, 16)
         g2l = {g: l for l, g in enumerate(order)}
 
         cam_params = np.zeros((C_pad, 12), np.float32)
@@ -635,8 +652,8 @@ class IncrementalReconstructor:
         obs_lm, obs_img, obs_feat = obs_lm[reg_mask], obs_img[reg_mask], obs_feat[reg_mask]
         O = obs_lm.size
         L = state.num_landmarks
-        O_pad = _next_pow2(max(O, 1))
-        L_pad = _next_pow2(max(L, 1))
+        O_pad = _bucket(max(O, 1), lo=4096)
+        L_pad = _bucket(max(L, 1), lo=2048)
 
         obs_cam_l = np.zeros(O_pad, np.int32)
         obs_pt = np.zeros(O_pad, np.int32)

@@ -136,3 +136,41 @@ class TestImageIO:
         assert h == 512 and w % 8 == 0
         # small image untouched
         assert io_images.reference_target_size(100, 200, 512) == (100, 200)
+
+
+class TestOrb:
+    def test_fast_detects_corners(self):
+        from reconstructor_tpu.features import orb
+        import jax.numpy as jnp
+        # a bright square on dark background has strong FAST corners
+        img = np.zeros((96, 96), np.float32)
+        img[30:60, 30:60] = 1.0
+        feats = orb.detect_and_describe(jnp.asarray(img)[None],
+                                        jnp.asarray([[96, 96]], jnp.int32),
+                                        max_keypoints=64)
+        xy = np.asarray(feats.xy[0])[np.asarray(feats.mask[0])]
+        assert xy.shape[0] >= 4
+        corners = np.array([[30, 30], [30, 59], [59, 30], [59, 59]], float)
+        d = np.linalg.norm(corners[:, None] - xy[None], axis=-1).min(axis=1)
+        assert (d < 4.0).mean() >= 0.75
+
+    def test_orb_translation_matching(self):
+        from reconstructor_tpu.features import orb
+        from reconstructor_tpu.matching import knn
+        import jax.numpy as jnp
+        rng = np.random.default_rng(7)
+        img, _ = make_blob_image(rng)
+        img = (img > 0.4).astype(np.float32)  # hard edges for FAST
+        dy, dx = 5, 8
+        img2 = np.roll(np.roll(img, dy, axis=0), dx, axis=1)
+        gray = jnp.asarray(np.stack([img, img2]))
+        shapes = jnp.asarray([[128, 160]] * 2, jnp.int32)
+        feats = orb.detect_and_describe(gray, shapes, max_keypoints=256)
+        midx, mmask = knn.match_pair(feats.desc[0], feats.desc[1],
+                                     feats.mask[0], feats.mask[1],
+                                     ratio_thresh=0.9)
+        midx, mmask = np.asarray(midx), np.asarray(mmask)
+        assert mmask.sum() >= 10
+        d = np.asarray(feats.xy[1])[midx[mmask]] - np.asarray(feats.xy[0])[mmask]
+        good = (np.abs(d - np.array([dx, dy])) <= 1.5).all(axis=1)
+        assert good.mean() > 0.7
