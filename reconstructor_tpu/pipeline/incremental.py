@@ -92,10 +92,9 @@ def _filter_chunk(keys, pts1, pts2, mask, num_hypotheses: int, thresh_px: float)
 @functools.partial(jax.jit, static_argnames=("num_hypotheses", "thresh_px"))
 def _initial_pose(key, uv1, uv2, intr1, intr2, mask,
                   num_hypotheses: int, thresh_px: float):
-    E, inl, cnt = epipolar.estimate_essential(
+    pose, E, inl, cnt = epipolar.estimate_relative_pose(
         key, uv1, uv2, intr1, intr2, mask,
         thresh_px=thresh_px, num_hypotheses=num_hypotheses)
-    pose, _ = epipolar.recover_pose(E, uv1, uv2, intr1, intr2, inl)
     return pose, inl, cnt
 
 

@@ -1,0 +1,122 @@
+"""Integration tests: two-view slice on real data + synthetic full pipeline.
+
+These run on CPU (conftest) with reduced capacities so CI stays fast.
+"""
+
+import os
+import shutil
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from reconstructor_tpu.config import ReconstructorConfig
+from reconstructor_tpu.pipeline.incremental import IncrementalReconstructor
+from reconstructor_tpu.geometry import se3, camera as cam
+
+REF_DATA = "/root/reference/data"
+
+
+@pytest.fixture(scope="module")
+def two_view_folder(tmp_path_factory):
+    if not os.path.isdir(REF_DATA):
+        pytest.skip("reference dataset unavailable")
+    d = tmp_path_factory.mktemp("twoview")
+    for f in ["0018.jpg", "0019.jpg"]:
+        shutil.copy(os.path.join(REF_DATA, f), d)
+    return str(d)
+
+
+class TestTwoViewRealData:
+    """BASELINE config 1: the minimal two-view slice on fountain images."""
+
+    def test_two_view_reconstruction(self, two_view_folder, tmp_path):
+        cfg = ReconstructorConfig(max_keypoints=512,
+                                  ransac_num_hypotheses=256,
+                                  pnp_num_hypotheses=256)
+        rec = IncrementalReconstructor(cfg, verbose=False)
+        state = rec.detect_features(two_view_folder)
+        rec.match_features(state)
+        assert state.matches, "no pairs matched"
+        i1, i2, rel = rec.choose_initial_pair(state)
+        state.poses[i1] = np.eye(4, dtype=np.float32)
+        state.poses[i2] = rel
+        state.registered = [i1, i2]
+        rec.triangulate_initial_pair(state, i1, i2)
+        assert state.num_landmarks > 50
+        # every landmark must satisfy the creation gates wrt both views
+        valid = rec.check_landmark_validity(state)
+        assert valid.mean() > 0.95
+        # and produce a loadable PLY
+        out = str(tmp_path / "two_view.ply")
+        from reconstructor_tpu.io import ply
+        poses = np.stack([state.poses[i] for i in state.registered])
+        ply.save_cloud(out, state.lm_xyz, state.lm_rgb, poses)
+        pts, _ = ply.load_cloud(out)
+        assert pts.shape[0] == state.num_landmarks + 2
+
+
+def render_synthetic_views(rng, n_views=4, h=256, w=320, n_pts=300):
+    """Render blob images of one 3D point set from several cameras.
+
+    Dense points with per-point intensity/size variation give descriptors
+    neighborhood context to match on (isolated identical blobs would be
+    inherently ambiguous); small baselines keep appearance change low.
+    """
+    pts = rng.uniform([-2.0, -1.5, 6.0], [2.0, 1.5, 10.0], (n_pts, 3)).astype(np.float32)
+    amp = rng.uniform(0.3, 1.0, n_pts).astype(np.float32)
+    sig = rng.uniform(1.3, 3.5, n_pts).astype(np.float32)
+    intr = np.asarray(cam.make_intrinsics(h, w, focal_px=300.0))
+    imgs, poses = [], []
+    yy, xx = np.mgrid[0:h, 0:w]
+    for i in range(n_views):
+        aa = np.array([0.0, 0.04 * i - 0.06, 0.0], np.float32)
+        t = np.array([0.3 * i - 0.45, 0.0, 0.0], np.float32)
+        R = np.asarray(se3.angle_axis_to_rotation(jnp.asarray(aa)))
+        pc = pts @ R.T + t
+        uv = np.asarray(cam.project(jnp.asarray(intr), jnp.asarray(pc)))
+        img = np.zeros((h, w), np.float32)
+        scale = 300.0 / pc[:, 2]
+        for (u, v), a, s, sc in zip(uv, amp, sig, scale):
+            if 5 < u < w - 5 and 5 < v < h - 5:
+                s_px = s * sc / 50.0 + 1.2
+                img += a * np.exp(-((yy - v) ** 2 + (xx - u) ** 2) / (2 * s_px ** 2))
+        imgs.append(np.clip(img, 0, 1))
+        poses.append(np.asarray(se3.make_pose(jnp.asarray(R), jnp.asarray(t))))
+    return imgs, np.stack(poses), intr, pts
+
+
+class TestSyntheticPipeline:
+    def test_full_pipeline_recovers_geometry(self, tmp_path):
+        rng = np.random.default_rng(11)
+        imgs, poses_gt, intr, pts_gt = render_synthetic_views(rng)
+        d = tmp_path / "views"
+        d.mkdir()
+        from PIL import Image
+        for i, im in enumerate(imgs):
+            Image.fromarray((im * 255).astype(np.uint8)).convert("RGB").save(
+                str(d / f"{i:02d}.png"))
+        cfg = ReconstructorConfig(max_keypoints=256,
+                                  ransac_num_hypotheses=256,
+                                  pnp_num_hypotheses=256,
+                                  focal_px=300.0,
+                                  pnp_min_inliers=8,
+                                  min_2d3d_match_num=5)
+        rec = IncrementalReconstructor(cfg, verbose=False)
+        state = rec.reconstruct(str(d))
+        assert len(state.registered) >= 3
+        assert state.num_landmarks > 20
+        # relative camera geometry should match ground truth up to scale:
+        # compare angles between camera-center baselines
+        reg = sorted(state.registered)
+        est = np.stack([-state.poses[i][:3, :3].T @ state.poses[i][:3, 3]
+                        for i in reg])
+        gt = np.stack([-poses_gt[i][:3, :3].T @ poses_gt[i][:3, 3]
+                       for i in reg])
+        e = est[1:] - est[0]
+        g = gt[1:] - gt[0]
+        e = e / np.linalg.norm(e, axis=1, keepdims=True)
+        g = g / np.linalg.norm(g, axis=1, keepdims=True)
+        # baseline directions agree within 10 degrees
+        cos = np.abs((e * g).sum(1))
+        assert np.all(cos > np.cos(np.deg2rad(10)))
