@@ -57,12 +57,18 @@ class ReconstructorConfig:
     cross_check: bool = True         # mutual-nearest constraint
     superglue_score_thresh: float = 0.5
     superglue_sinkhorn_iters: int = 100
+    superglue_use_pallas_sinkhorn: bool = True  # fused VMEM-resident kernel on TPU
     min_matches_for_filter: int = 7  # need >=7 for F estimation
 
     # ---- geometric verification ----------------------------------------
     fundamental_thresh_px: float = 3.0   # cv::findFundamentalMat default
     essential_thresh_px: float = 1.0     # cv::findEssentialMat default
-    ransac_num_hypotheses: int = 2048    # fixed batched hypothesis budget
+    ransac_num_hypotheses: int = 2048    # initial-pair E/H budget
+    # Per-pair F-gating runs on every pair; after ratio + cross-check the
+    # inlier fraction is high, so a smaller budget loses nothing and the
+    # batched 9x9 nullspace solves dominate matching cost otherwise.
+    fundamental_num_hypotheses: int = 512
+    filter_chunk_pairs: int = 16         # pairs per jitted F-gate chunk
     ransac_confidence: float = 0.99
 
     # ---- incremental engine ---------------------------------------------
@@ -80,6 +86,7 @@ class ReconstructorConfig:
     ba_max_iters_large: int = 50
     ba_intrinsics_free_min_cams: int = 10
     ba_focal_upper_bound: float = 1000.0
+    ba_solver: str = "dense_schur"   # "dense_schur" | "pcg"
     ba_init_lambda: float = 1e-3
     ba_lambda_up: float = 4.0
     ba_lambda_down: float = 2.0

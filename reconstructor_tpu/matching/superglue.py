@@ -246,11 +246,13 @@ def log_sinkhorn(scores: jnp.ndarray, alpha: jnp.ndarray,
     return couplings + u[:, None] + v[None, :] - norm
 
 
-@functools.partial(jax.jit, static_argnames=("sinkhorn_iters", "score_thresh"))
+@functools.partial(jax.jit, static_argnames=("sinkhorn_iters", "score_thresh",
+                                             "use_pallas"))
 def match_pair(params: Dict[str, Any],
                desc0, desc1, xy0, xy1, score0, score1,
                mask0, mask1, shape0, shape1,
-               sinkhorn_iters: int = 100, score_thresh: float = 0.5):
+               sinkhorn_iters: int = 100, score_thresh: float = 0.5,
+               use_pallas: bool = False):
     """Full SuperGlue matching of one image pair.
 
     Inputs are the fixed-capacity per-image feature arrays; shapes are
@@ -263,7 +265,12 @@ def match_pair(params: Dict[str, Any],
     f0, f1 = gnn_forward(params, desc0, desc1, xy0n, xy1n,
                          score0, score1, mask0, mask1)
     scores = jnp.einsum("md,nd->mn", f0, f1) / (D_MODEL ** 0.5)
-    Z = log_sinkhorn(scores, params["bin_score"], mask0, mask1, sinkhorn_iters)
+    if use_pallas:
+        from reconstructor_tpu.matching import pallas_sinkhorn
+        Z = pallas_sinkhorn.log_sinkhorn_fused(
+            scores, params["bin_score"], mask0, mask1, sinkhorn_iters)
+    else:
+        Z = log_sinkhorn(scores, params["bin_score"], mask0, mask1, sinkhorn_iters)
     P = jnp.exp(Z[:-1, :-1])
     idx0 = jnp.argmax(P, axis=1)
     idx1 = jnp.argmax(P, axis=0)

@@ -152,9 +152,14 @@ class IncrementalReconstructor:
     """End-to-end incremental reconstruction (reconstruct() parity)."""
 
     def __init__(self, config: Optional[ReconstructorConfig] = None,
-                 verbose: bool = True):
+                 verbose: bool = True, mesh=None):
+        """``mesh``: optional jax.sharding.Mesh — when given, bundle
+        adjustment runs the observation-sharded implicit-Schur PCG solver
+        across it (ba.distributed) instead of the single-chip dense-Schur
+        solve."""
         self.config = config or ReconstructorConfig()
         self.verbose = verbose
+        self.mesh = mesh
         self.timer = TimeLogger()
         self._key = jax.random.PRNGKey(0)
 
@@ -333,7 +338,9 @@ class IncrementalReconstructor:
                 params, desc[i], desc[j], xy[i], xy[j], score[i], score[j],
                 kmask[i], kmask[j], shapes[i], shapes[j],
                 sinkhorn_iters=cfg.superglue_sinkhorn_iters,
-                score_thresh=cfg.superglue_score_thresh)
+                score_thresh=cfg.superglue_score_thresh,
+                use_pallas=cfg.superglue_use_pallas_sinkhorn
+                and jax.devices()[0].platform not in ("cpu",))
             midx[p] = np.asarray(idx)
             mmask[p] = np.asarray(ok)
         return midx, mmask
@@ -343,7 +350,7 @@ class IncrementalReconstructor:
         cfg = self.config
         P = pair_idx.shape[0]
         K = state.max_keypoints
-        B = 8
+        B = cfg.filter_chunk_pairs
         out = mmask.copy()
         raw_counts = mmask.sum(1)
         xy = state.xy
@@ -360,7 +367,7 @@ class IncrementalReconstructor:
             keys = jax.random.split(self._next_key(), B)
             inl = np.asarray(_filter_chunk(
                 keys, jnp.asarray(p1), jnp.asarray(p2), jnp.asarray(m),
-                num_hypotheses=cfg.ransac_num_hypotheses,
+                num_hypotheses=cfg.fundamental_num_hypotheses,
                 thresh_px=cfg.fundamental_thresh_px))
             for bi, p in enumerate(chunk):
                 # need >= 7 matches for F estimation; keep raw otherwise
@@ -678,13 +685,22 @@ class IncrementalReconstructor:
             obs_uv=jnp.asarray(obs_uv),
             obs_mask=jnp.asarray(obs_mask),
             cam_free=jnp.asarray(cam_free))
+        self._last_ba_problem = prob
         max_iters = cfg.ba_max_iters_small if C < 10 else cfg.ba_max_iters_large
-        result = ba_lm.solve(prob, max_iters=max_iters,
-                             init_lambda=cfg.ba_init_lambda,
-                             lambda_up=cfg.ba_lambda_up,
-                             lambda_down=cfg.ba_lambda_down,
-                             ftol=cfg.ba_ftol,
-                             focal_upper_bound=cfg.ba_focal_upper_bound)
+        common = dict(max_iters=max_iters,
+                      init_lambda=cfg.ba_init_lambda,
+                      lambda_up=cfg.ba_lambda_up,
+                      lambda_down=cfg.ba_lambda_down,
+                      ftol=cfg.ba_ftol,
+                      focal_upper_bound=cfg.ba_focal_upper_bound)
+        if self.mesh is not None:
+            from reconstructor_tpu.ba import distributed
+            result = distributed.solve_distributed(self.mesh, prob, **common)
+        elif cfg.ba_solver == "pcg":
+            from reconstructor_tpu.ba import distributed
+            result = distributed.solve_pcg(prob, **common)
+        else:
+            result = ba_lm.solve(prob, **common)
         self._log(f"BA: cost {float(result.cost_initial):.1f} -> "
                   f"{float(result.cost_final):.1f} in {int(result.iterations)} iters")
 
