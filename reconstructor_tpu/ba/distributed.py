@@ -73,25 +73,32 @@ def _pcg(matvec, rhs, precond, num_iters: int, tol: float):
     return x
 
 
-def _lm_step_pcg(prob: ba_lm.BAProblem, cam_params, points, lam,
-                 cg_iters: int, cg_tol: float):
-    """One damped LM solve via implicit-Schur PCG.
-
-    Identical math to ba.lm._lm_step but without materializing W: the
-    Schur matvec streams over the (sharded) observation axis.
-    """
+def _build_pcg_blocks(prob: ba_lm.BAProblem, cam_params, points):
+    """Damping-independent blocks for the implicit-Schur path (built once
+    per outer LM iteration; lambda retries reuse them)."""
     C = cam_params.shape[0]
     L = points.shape[0]
     res, Jc, Jp = _build_blocks(prob, cam_params, points)
-
     g_c = jax.ops.segment_sum(jnp.einsum("ori,or->oi", Jc, res), prob.obs_cam, C)
     g_p = jax.ops.segment_sum(jnp.einsum("ori,or->oi", Jp, res), prob.obs_pt, L)
     H_cc = jax.ops.segment_sum(jnp.einsum("ori,orj->oij", Jc, Jc), prob.obs_cam, C)
     H_pp = jax.ops.segment_sum(jnp.einsum("ori,orj->oij", Jp, Jp), prob.obs_pt, L)
     Y = jnp.einsum("ori,orj->oij", Jc, Jp)          # (O,12,3), sharded on O
+    return g_c, g_p, H_cc, H_pp, Y
 
-    eye12 = jnp.eye(12, dtype=cam_params.dtype)
-    eye3 = jnp.eye(3, dtype=cam_params.dtype)
+
+def _lm_step_pcg(prob: ba_lm.BAProblem, blocks, lam,
+                 cg_iters: int, cg_tol: float):
+    """One damped implicit-Schur PCG solve from prebuilt blocks.
+
+    The Schur matvec streams over the (sharded) observation axis; no W is
+    materialized.
+    """
+    g_c, g_p, H_cc, H_pp, Y = blocks
+    C = g_c.shape[0]
+    L = g_p.shape[0]
+    eye12 = jnp.eye(12, dtype=g_c.dtype)
+    eye3 = jnp.eye(3, dtype=g_c.dtype)
     fixed_c = 1.0 - prob.cam_free
     H_cc = H_cc + lam * eye12 + fixed_c[:, :, None] * eye12
     H_pp = H_pp + (lam + 1e-8) * eye3
@@ -128,13 +135,18 @@ def _lm_step_pcg(prob: ba_lm.BAProblem, cam_params, points, lam,
     return d_cam * prob.cam_free, d_pt
 
 
-@functools.partial(jax.jit, static_argnames=("max_iters", "cg_iters"))
+@functools.partial(jax.jit, static_argnames=("max_iters", "cg_iters", "max_retries"))
 def solve_pcg(prob: ba_lm.BAProblem, max_iters: int = 50,
               init_lambda: float = 1e-3, lambda_up: float = 4.0,
               lambda_down: float = 2.0, ftol: float = 1e-8,
               cg_iters: int = 64, cg_tol: float = 1e-6,
-              focal_upper_bound: float = 1000.0) -> ba_lm.BAResult:
-    """LM with implicit-Schur PCG linear solves (mesh-shardable)."""
+              focal_upper_bound: float = 1000.0,
+              max_retries: int = 5) -> ba_lm.BAResult:
+    """LM with implicit-Schur PCG linear solves (mesh-shardable).
+
+    Same two-level structure as ba.lm.solve: blocks once per outer
+    iteration, damping retries re-run only the PCG solve.
+    """
     cost0 = ba_lm._compute_cost(prob, prob.cam_params, prob.points)
 
     def cond(state):
@@ -143,17 +155,36 @@ def solve_pcg(prob: ba_lm.BAProblem, max_iters: int = 50,
 
     def body(state):
         cam, pts, lam, cost, it, done = state
-        d_cam, d_pt = _lm_step_pcg(prob, cam, pts, lam, cg_iters, cg_tol)
-        cam_new = (cam + d_cam).at[:, 6:8].min(focal_upper_bound)
-        pts_new = pts + d_pt
-        new_cost = ba_lm._compute_cost(prob, cam_new, pts_new)
-        accept = (new_cost < cost) & jnp.isfinite(new_cost)
-        cam = jnp.where(accept, cam_new, cam)
-        pts = jnp.where(accept, pts_new, pts)
-        lam = jnp.where(accept, lam / lambda_down, lam * lambda_up)
+        blocks = _build_pcg_blocks(prob, cam, pts)
+
+        def retry_cond(s):
+            tries, lam_i, accepted, *_ = s
+            return (tries < max_retries) & (~accepted)
+
+        def retry_body(s):
+            tries, lam_i, accepted, best_cam, best_pts, best_cost = s
+            d_cam, d_pt = _lm_step_pcg(prob, blocks, lam_i, cg_iters, cg_tol)
+            cam_new = (cam + d_cam).at[:, 6:8].min(focal_upper_bound)
+            pts_new = pts + d_pt
+            new_cost = ba_lm._compute_cost(prob, cam_new, pts_new)
+            good = (new_cost < cost) & jnp.isfinite(new_cost)
+            best_cam = jnp.where(good, cam_new, best_cam)
+            best_pts = jnp.where(good, pts_new, best_pts)
+            best_cost = jnp.where(good, new_cost, best_cost)
+            return tries + 1, jnp.where(good, lam_i, lam_i * lambda_up), \
+                good, best_cam, best_pts, best_cost
+
+        tries, lam_new, accepted, cam_new, pts_new, new_cost = jax.lax.while_loop(
+            retry_cond, retry_body,
+            (jnp.asarray(0, jnp.int32), lam, jnp.asarray(False), cam, pts, cost))
+
+        cam = jnp.where(accepted, cam_new, cam)
+        pts = jnp.where(accepted, pts_new, pts)
+        lam = jnp.where(accepted, lam_new / lambda_down, lam_new)
         rel_drop = (cost - new_cost) / jnp.maximum(cost, 1e-12)
-        done = (accept & (rel_drop < ftol)) | (lam > 1e8)
-        cost = jnp.where(accept, new_cost, cost)
+        done = (accepted & (rel_drop < ftol) & (rel_drop >= 0)) \
+            | (~accepted) | (lam > 1e10)
+        cost = jnp.where(accepted, new_cost, cost)
         return cam, pts, lam, cost, it + 1, done
 
     lam0 = jnp.asarray(init_lambda, prob.cam_params.dtype)

@@ -115,58 +115,80 @@ def _build_blocks(prob: BAProblem, cam_params, points):
     return res, Jc, Jp   # (O,2), (O,2,12), (O,2,3)
 
 
-def _lm_step(prob: BAProblem, cam_params, points, lam):
-    """One damped LM solve: returns (d_cam (C,12), d_pt (L,3))."""
+def _build_normal_blocks(prob: BAProblem, cam_params, points):
+    """Damping-independent normal-equation pieces, built once per outer LM
+    iteration (lambda retries reuse them — the expensive parts are the
+    vmapped jacfwd and the dense W scatter, neither of which depends on
+    the damping)."""
     C = cam_params.shape[0]
     L = points.shape[0]
     res, Jc, Jp = _build_blocks(prob, cam_params, points)
 
-    # Gradient and block Hessians.
     g_c = jax.ops.segment_sum(jnp.einsum("ori,or->oi", Jc, res), prob.obs_cam, C)   # (C,12)
     g_p = jax.ops.segment_sum(jnp.einsum("ori,or->oi", Jp, res), prob.obs_pt, L)    # (L,3)
     H_cc = jax.ops.segment_sum(jnp.einsum("ori,orj->oij", Jc, Jc), prob.obs_cam, C) # (C,12,12)
     H_pp = jax.ops.segment_sum(jnp.einsum("ori,orj->oij", Jp, Jp), prob.obs_pt, L)  # (L,3,3)
     Y = jnp.einsum("ori,orj->oij", Jc, Jp)                                          # (O,12,3)
 
-    eye12 = jnp.eye(12, dtype=cam_params.dtype)
-    eye3 = jnp.eye(3, dtype=cam_params.dtype)
-    # Additive (Levenberg) damping; fixed columns get unit diagonal so the
-    # system stays non-singular and their update is exactly zero.
-    fixed_c = 1.0 - prob.cam_free                                    # (C,12)
-    H_cc = H_cc + lam * eye12 + fixed_c[:, :, None] * eye12
-    H_pp = H_pp + (lam + 1e-8) * eye3
-
-    H_pp_inv = jnp.linalg.inv(H_pp)                                  # (L,3,3)
-
     # Dense landmark-camera coupling: W (C,12,L,3) via scatter of Y blocks.
     W = jnp.zeros((C, 12, L, 3), cam_params.dtype)
     W = W.at[prob.obs_cam, :, prob.obs_pt, :].add(Y)
-    # P = W Hpp^-1  (apply per-point 3x3)
-    P = jnp.einsum("cilk,lkj->cilj", W, H_pp_inv)
     Wf = W.reshape(C * 12, L * 3)
+    return g_c, g_p, H_cc, H_pp, Wf
+
+
+def _damped_schur_solve(prob: BAProblem, blocks, lam):
+    """Damped Schur-complement solve from prebuilt blocks:
+    returns (d_cam (C,12), d_pt (L,3))."""
+    g_c, g_p, H_cc, H_pp, Wf = blocks
+    C = g_c.shape[0]
+    L = g_p.shape[0]
+    dtype = g_c.dtype
+    eye12 = jnp.eye(12, dtype=dtype)
+    eye3 = jnp.eye(3, dtype=dtype)
+    # Additive (Levenberg) damping; fixed columns get unit diagonal so the
+    # system stays non-singular and their update is exactly zero.
+    fixed_c = 1.0 - prob.cam_free
+    H_cc_d = H_cc + lam * eye12 + fixed_c[:, :, None] * eye12
+    H_pp_d = H_pp + (lam + 1e-8) * eye3
+    H_pp_inv = jnp.linalg.inv(H_pp_d)                                # (L,3,3)
+
+    # P = W Hpp^-1  (apply per-point 3x3 on the flat layout)
+    P = jnp.einsum("cilk,lkj->cilj", Wf.reshape(C, 12, L, 3), H_pp_inv)
     Pf = P.reshape(C * 12, L * 3)
 
-    H_cc_dense = jnp.zeros((C * 12, C * 12), cam_params.dtype)
+    H_cc_dense = jnp.zeros((C * 12, C * 12), dtype)
     ci = jnp.arange(C)
-    H_cc_dense = H_cc_dense.reshape(C, 12, C, 12).at[ci, :, ci, :].set(H_cc).reshape(C * 12, C * 12)
+    H_cc_dense = H_cc_dense.reshape(C, 12, C, 12).at[ci, :, ci, :].set(H_cc_d).reshape(C * 12, C * 12)
 
     S = H_cc_dense - Pf @ Wf.T                                       # MXU
     rhs = -(g_c.reshape(-1) - Pf @ g_p.reshape(-1))
-
     d_cam = jnp.linalg.solve(S, rhs).reshape(C, 12)
 
     # Back-substitute points: dp = -Hpp^-1 (g_p + W^T dc)
     Wt_dc = (Wf.T @ d_cam.reshape(-1)).reshape(L, 3)
     d_pt = -jnp.einsum("lij,lj->li", H_pp_inv, g_p + Wt_dc)
-    d_cam = d_cam * prob.cam_free
-    return d_cam, d_pt
+    return d_cam * prob.cam_free, d_pt
 
 
-@functools.partial(jax.jit, static_argnames=("max_iters",))
+def _lm_step(prob: BAProblem, cam_params, points, lam):
+    """One damped LM solve (build + solve); kept for API compatibility."""
+    blocks = _build_normal_blocks(prob, cam_params, points)
+    return _damped_schur_solve(prob, blocks, lam)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters", "max_retries"))
 def solve(prob: BAProblem, max_iters: int = 50, init_lambda: float = 1e-3,
           lambda_up: float = 4.0, lambda_down: float = 2.0,
-          ftol: float = 1e-8, focal_upper_bound: float = 1000.0) -> BAResult:
-    """Run damped LM to convergence (or max_iters) fully on device."""
+          ftol: float = 1e-8, focal_upper_bound: float = 1000.0,
+          max_retries: int = 5) -> BAResult:
+    """Run damped LM to convergence (or max_iters) fully on device.
+
+    Classic two-level structure: the Jacobian/normal blocks are built once
+    per outer iteration; an inner fixed-budget loop retries increasing
+    damping with only the (cheap) Schur solve + cost evaluation until a
+    step is accepted.
+    """
     cost0 = _compute_cost(prob, prob.cam_params, prob.points)
 
     def cond(state):
@@ -175,20 +197,36 @@ def solve(prob: BAProblem, max_iters: int = 50, init_lambda: float = 1e-3,
 
     def body(state):
         cam, pts, lam, cost, it, done = state
-        d_cam, d_pt = _lm_step(prob, cam, pts, lam)
-        cam_new = cam + d_cam
-        # focal upper bound (BundleAdjuster.cpp:120-121)
-        cam_new = cam_new.at[:, 6:8].min(focal_upper_bound)
-        pts_new = pts + d_pt
-        new_cost = _compute_cost(prob, cam_new, pts_new)
-        accept = (new_cost < cost) & jnp.isfinite(new_cost)
-        cam = jnp.where(accept, cam_new, cam)
-        pts = jnp.where(accept, pts_new, pts)
-        lam = jnp.where(accept, lam / lambda_down, lam * lambda_up)
+        blocks = _build_normal_blocks(prob, cam, pts)
+
+        def retry_cond(s):
+            tries, lam_i, accepted, *_ = s
+            return (tries < max_retries) & (~accepted)
+
+        def retry_body(s):
+            tries, lam_i, accepted, best_cam, best_pts, best_cost = s
+            d_cam, d_pt = _damped_schur_solve(prob, blocks, lam_i)
+            cam_new = (cam + d_cam).at[:, 6:8].min(focal_upper_bound)
+            pts_new = pts + d_pt
+            new_cost = _compute_cost(prob, cam_new, pts_new)
+            good = (new_cost < cost) & jnp.isfinite(new_cost)
+            best_cam = jnp.where(good, cam_new, best_cam)
+            best_pts = jnp.where(good, pts_new, best_pts)
+            best_cost = jnp.where(good, new_cost, best_cost)
+            return tries + 1, jnp.where(good, lam_i, lam_i * lambda_up), \
+                good, best_cam, best_pts, best_cost
+
+        tries, lam_new, accepted, cam_new, pts_new, new_cost = jax.lax.while_loop(
+            retry_cond, retry_body,
+            (jnp.asarray(0, jnp.int32), lam, jnp.asarray(False), cam, pts, cost))
+
+        cam = jnp.where(accepted, cam_new, cam)
+        pts = jnp.where(accepted, pts_new, pts)
+        lam = jnp.where(accepted, lam_new / lambda_down, lam_new)
         rel_drop = (cost - new_cost) / jnp.maximum(cost, 1e-12)
-        done = accept & (rel_drop < ftol) & (rel_drop >= 0)
-        done = done | (lam > 1e8)
-        cost = jnp.where(accept, new_cost, cost)
+        done = (accepted & (rel_drop < ftol) & (rel_drop >= 0)) \
+            | (~accepted) | (lam > 1e10)
+        cost = jnp.where(accepted, new_cost, cost)
         return cam, pts, lam, cost, it + 1, done
 
     lam0 = jnp.asarray(init_lambda, prob.cam_params.dtype)
