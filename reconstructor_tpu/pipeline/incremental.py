@@ -209,6 +209,7 @@ class IncrementalReconstructor:
                 self.bundle_adjust(state)
                 inl_after = self.check_landmark_validity(state, drop=True)
                 state.remove_landmarks(inl_after)
+                self.complete_tracks(state)
                 if out_folder and save_intermediate:
                     self._save(state, os.path.join(out_folder, f"clouds/cloud_after_{it}.ply"))
             self._log(f"registered img {added} | landmarks: {state.num_landmarks}")
@@ -543,10 +544,23 @@ class IncrementalReconstructor:
             for lm_id, f in zip(lm_ids[ok], feat_ids[ok]):
                 state.add_observation(int(lm_id), img, int(f))
 
-        # 2. unassigned features: two-view triangulation against the first
-        #    registered partner whose matched feature is also unassigned
-        cand = []
+        # 2. unassigned features: multi-view triangulation against ALL
+        #    registered partners whose matched features are also
+        #    unassigned. (The reference stops at the first partner,
+        #    cpp:547-549 — using every available view both tightens the
+        #    DLT and lets the angle gate pass sooner.)
         free = np.where((state.feat2lm[img] == -1) & state.kp_mask[img])[0]
+        V = MAX_VIEWS_PER_LANDMARK
+        n = free.size
+        if n == 0:
+            return
+        obs_img = np.zeros((n, V), np.int32)
+        obs_feat = np.zeros((n, V), np.int32)
+        obs_mask = np.zeros((n, V), bool)
+        obs_img[:, 0] = img
+        obs_feat[:, 0] = free
+        obs_mask[:, 0] = True
+        slot = np.ones(n, np.int32)
         for r in state.registered:
             if r == img:
                 continue
@@ -554,28 +568,47 @@ class IncrementalReconstructor:
             if m is None:
                 continue
             partner = m[free]
-            ok = (partner >= 0)
+            ok = partner >= 0
             ok[ok] &= state.feat2lm[r, partner[ok]] == -1
-            for f, pf in zip(free[ok], partner[ok]):
-                cand.append((img, f, r, pf))
-            free = free[~ok]  # first-match-wins, like the reference's break
-            if free.size == 0:
-                break
-        if not cand:
+            ok &= slot < V
+            rows = np.where(ok)[0]
+            obs_img[rows, slot[rows]] = r
+            obs_feat[rows, slot[rows]] = partner[rows]
+            obs_mask[rows, slot[rows]] = True
+            slot[rows] += 1
+        multi = slot >= 2
+        if not multi.any():
             return
-        cand = np.asarray(cand, np.int32)
-        n = cand.shape[0]
-        V = MAX_VIEWS_PER_LANDMARK
-        obs_img = np.zeros((n, V), np.int32)
-        obs_feat = np.zeros((n, V), np.int32)
-        obs_mask = np.zeros((n, V), bool)
-        obs_img[:, 0] = cand[:, 2]; obs_feat[:, 0] = cand[:, 3]
-        obs_img[:, 1] = cand[:, 0]; obs_feat[:, 1] = cand[:, 1]
-        obs_mask[:, :2] = True
+        obs_img, obs_feat, obs_mask = obs_img[multi], obs_feat[multi], obs_mask[multi]
         xyz, valid = self._batch_triangulate(state, obs_img, obs_feat, obs_mask)
         rgb = state.colors[obs_img[:, 0], obs_feat[:, 0]]
         state.add_landmarks(xyz[valid], rgb[valid], obs_img[valid],
                             obs_feat[valid], obs_mask[valid])
+
+    def complete_tracks(self, state: ReconstructionState) -> int:
+        """Attach missing observations of existing landmarks across all
+        registered views (COLMAP-style track completion; no reference
+        equivalent — the reference only ever links the newly added view).
+        Returns the number of observations added."""
+        cfg = self.config
+        added = 0
+        matches_2d3d = self.calc_2d3d_matches(state, list(state.registered))
+        for r, (lm_ids, feat_ids) in matches_2d3d.items():
+            if lm_ids.size == 0:
+                continue
+            pose = state.poses[r]
+            pts = state.lm_xyz[lm_ids]
+            local = pts @ pose[:3, :3].T + pose[:3, 3]
+            uv = state.xy[r, feat_ids]
+            err = np.asarray(cam.reprojection_error_l1(
+                jnp.asarray(state.intrinsics[r]), jnp.asarray(local),
+                jnp.asarray(uv)))
+            ok = (local[:, 2] > 0) & (err < cfg.max_projection_error) \
+                & (state.feat2lm[r, feat_ids] == -1)
+            for lm_id, f in zip(lm_ids[ok], feat_ids[ok]):
+                if state.add_observation(int(lm_id), r, int(f)):
+                    added += 1
+        return added
 
     def add_next_view(self, state: ReconstructionState) -> Optional[int]:
         """addNextView parity (cpp:761-813)."""
