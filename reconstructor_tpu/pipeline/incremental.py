@@ -303,6 +303,11 @@ class IncrementalReconstructor:
         pair_idx = pairing.exhaustive_pairs(state.num_images)
         if cfg.matcher == "superglue":
             midx, mmask = self._match_superglue(state, pair_idx)
+        elif self.mesh is not None:
+            from reconstructor_tpu.parallel import sharding
+            midx, mmask = sharding.match_all_pairs_sharded(
+                self.mesh, state.desc, state.kp_mask, pair_idx,
+                ratio_thresh=cfg.ratio_thresh, cross_check=cfg.cross_check)
         else:
             midx, mmask = knn.match_all_pairs(
                 jnp.asarray(state.desc), jnp.asarray(state.kp_mask),

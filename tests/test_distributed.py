@@ -65,3 +65,29 @@ class TestDistributedBA:
         result = distributed.solve_pcg(prob, max_iters=10)
         np.testing.assert_array_equal(np.asarray(result.cam_params[0]),
                                       np.asarray(prob.cam_params[0]))
+
+
+class TestMeshPipeline:
+    def test_pipeline_with_mesh_matches_and_ba(self, mesh, tmp_path):
+        """Full pipeline driving sharded matching + distributed BA on the
+        virtual mesh (synthetic views)."""
+        import numpy as np
+        from tests.test_integration import render_synthetic_views
+        from PIL import Image
+        from reconstructor_tpu.config import ReconstructorConfig
+        from reconstructor_tpu.pipeline.incremental import IncrementalReconstructor
+
+        rng = np.random.default_rng(21)
+        imgs, poses_gt, intr, pts_gt = render_synthetic_views(rng, n_views=3)
+        d = tmp_path / "views"
+        d.mkdir()
+        for i, im in enumerate(imgs):
+            Image.fromarray((im * 255).astype(np.uint8)).convert("RGB").save(
+                str(d / f"{i:02d}.png"))
+        cfg = ReconstructorConfig(max_keypoints=256, ransac_num_hypotheses=256,
+                                  pnp_num_hypotheses=256, focal_px=300.0,
+                                  pnp_min_inliers=8, min_2d3d_match_num=5)
+        rec = IncrementalReconstructor(cfg, verbose=False, mesh=mesh)
+        state = rec.reconstruct(str(d))
+        assert len(state.registered) >= 2
+        assert state.num_landmarks > 10
