@@ -352,7 +352,12 @@ class IncrementalReconstructor:
         return midx, mmask
 
     def _filter_matches(self, state, pair_idx, midx, mmask) -> np.ndarray:
-        """Epipolar gate on every pair, in fixed-size chunks."""
+        """Epipolar gate on every pair, in fixed-size chunks.
+
+        All chunk calls are dispatched asynchronously before any result is
+        collected — device work for chunk k+1 overlaps the host-side
+        gather/scatter for chunk k.
+        """
         cfg = self.config
         P = pair_idx.shape[0]
         K = state.max_keypoints
@@ -360,22 +365,30 @@ class IncrementalReconstructor:
         out = mmask.copy()
         raw_counts = mmask.sum(1)
         xy = state.xy
+
+        # gather all pair coordinate blocks up front (vectorized)
+        i_all = pair_idx[:, 0]
+        j_all = pair_idx[:, 1]
+        p1_all = xy[i_all]                                        # (P, K, 2)
+        p2_all = xy[j_all[:, None], np.clip(midx, 0, K - 1)]      # (P, K, 2)
+
+        futures = []
         for s in range(0, P, B):
-            chunk = range(s, min(s + B, P))
+            e = min(s + B, P)
             p1 = np.zeros((B, K, 2), np.float32)
             p2 = np.zeros((B, K, 2), np.float32)
             m = np.zeros((B, K), bool)
-            for bi, p in enumerate(chunk):
-                i, j = pair_idx[p]
-                p1[bi] = xy[i]
-                p2[bi] = xy[j, np.clip(midx[p], 0, K - 1)]
-                m[bi] = mmask[p]
+            p1[: e - s] = p1_all[s:e]
+            p2[: e - s] = p2_all[s:e]
+            m[: e - s] = mmask[s:e]
             keys = jax.random.split(self._next_key(), B)
-            inl = np.asarray(_filter_chunk(
+            futures.append((s, e, _filter_chunk(
                 keys, jnp.asarray(p1), jnp.asarray(p2), jnp.asarray(m),
                 num_hypotheses=cfg.fundamental_num_hypotheses,
-                thresh_px=cfg.fundamental_thresh_px))
-            for bi, p in enumerate(chunk):
+                thresh_px=cfg.fundamental_thresh_px)))
+        for s, e, fut in futures:
+            inl = np.asarray(fut)
+            for bi, p in enumerate(range(s, e)):
                 # need >= 7 matches for F estimation; keep raw otherwise
                 # (SequentialReconstructor.cpp:237)
                 if raw_counts[p] >= cfg.min_matches_for_filter:
