@@ -90,54 +90,51 @@ def main():
     stats["match_pairs_per_s"] = round(pairs_per_s, 1)
 
     # ---- incremental reconstruction ------------------------------------
-    t0 = time.time()
-    i1, i2, rel = rec.choose_initial_pair(state)
-    state.poses[i1] = np.eye(4, dtype=np.float32)
-    state.poses[i2] = rel
-    state.registered = [i1, i2]
-    rec.triangulate_initial_pair(state, i1, i2)
-    t_ba = 0.0
-    for _ in range(state.num_images - 2):
-        if rec.add_next_view(state) is None:
-            break
-        rec.check_landmark_validity(state, drop=True)
-        tb = time.time()
-        rec.bundle_adjust(state)
-        t_ba += time.time() - tb
-        keep = rec.check_landmark_validity(state, drop=True)
-        state.remove_landmarks(keep)
-    stats["incremental_s"] = round(time.time() - t0, 2)
-    stats["ba_total_s"] = round(t_ba, 2)
-    stats["landmarks"] = int(state.num_landmarks)
-    stats["registered"] = len(state.registered)
-
-    # ---- warm BA timing on the final problem ---------------------------
-    prob = None
     try:
-        prob = rec._last_ba_problem  # set by bundle_adjust
-    except AttributeError:
-        pass
-    if prob is not None:
-        def run_ba():
-            r = ba_lm.solve(prob, max_iters=50)
-            jax.block_until_ready(r.cost_final)
-            return r
-        r, t_ba_warm = timed(run_ba)
-        iters = max(int(r.iterations), 1)
-        stats["ba_warm_s"] = round(t_ba_warm, 3)
-        stats["ba_iters"] = iters
-        stats["ba_s_per_iter"] = round(t_ba_warm / iters, 4)
+        t0 = time.time()
+        i1, i2, rel = rec.choose_initial_pair(state)
+        state.poses[i1] = np.eye(4, dtype=np.float32)
+        state.poses[i2] = rel
+        state.registered = [i1, i2]
+        rec.triangulate_initial_pair(state, i1, i2)
+        t_ba = 0.0
+        for _ in range(state.num_images - 2):
+            if rec.add_next_view(state) is None:
+                break
+            rec.check_landmark_validity(state, drop=True)
+            tb = time.time()
+            rec.bundle_adjust(state)
+            t_ba += time.time() - tb
+            keep = rec.check_landmark_validity(state, drop=True)
+            state.remove_landmarks(keep)
+            rec.complete_tracks(state)
+        stats["incremental_s"] = round(time.time() - t0, 2)
+        stats["ba_total_s"] = round(t_ba, 2)
+        stats["landmarks"] = int(state.num_landmarks)
+        stats["registered"] = len(state.registered)
 
-    # ---- quality --------------------------------------------------------
-    try:
+        # ---- warm BA timing on the final problem -----------------------
+        prob = getattr(rec, "_last_ba_problem", None)
+        if prob is not None:
+            def run_ba():
+                r = ba_lm.solve(prob, max_iters=50)
+                jax.block_until_ready(r.cost_final)
+                return r
+            r, t_ba_warm = timed(run_ba)
+            iters = max(int(r.iterations), 1)
+            stats["ba_warm_s"] = round(t_ba_warm, 3)
+            stats["ba_iters"] = iters
+            stats["ba_s_per_iter"] = round(t_ba_warm / iters, 4)
+
+        # ---- quality ----------------------------------------------------
         from reconstructor_tpu.eval import ate
         centers = np.stack([-state.poses[i][:3, :3].T @ state.poses[i][:3, 3]
                             for i in state.registered])
         res = ate.ate_vs_golden(centers, "/root/reference/cloud_fountain.ply")
         stats["ate_rmse"] = round(res["ate_rmse"], 3)
         stats["ate_normalized"] = round(res["ate_rmse_normalized"], 4)
-    except Exception as e:  # golden cloud unavailable etc.
-        stats["ate_error"] = str(e)
+    except Exception as e:  # never lose the headline metric
+        stats["incremental_error"] = repr(e)
 
     print(json.dumps(stats), file=sys.stderr)
 
