@@ -196,12 +196,22 @@ class IncrementalReconstructor:
         if out_folder and save_intermediate:
             self._save(state, os.path.join(out_folder, "clouds/cloud_initial.ply"))
 
+        retried = False
         for it in range(state.num_images - 2):
             with self.timer.event("adding new view"):
                 added = self.add_next_view(state)
             if added is None:
-                self._log("no registrable view left; stopping early")
-                break
+                # One retry round: track completion after the last BA can
+                # unlock 2d-3d support that did not exist when the
+                # remaining candidates were last evaluated.
+                if not retried:
+                    retried = True
+                    self.complete_tracks(state)
+                    added = self.add_next_view(state)
+                if added is None:
+                    self._log("no registrable view left; stopping early")
+                    break
+            retried = False
             with self.timer.event("global bundle adjustment"):
                 inl_before = self.check_landmark_validity(state, drop=True)
                 if out_folder and save_intermediate:
@@ -484,12 +494,11 @@ class IncrementalReconstructor:
                 lm_all.append(lmids[ok])
                 feat_all.append(fc[ok])
             if lm_all:
-                lm_cat = np.concatenate(lm_all)
-                feat_cat = np.concatenate(feat_all)
-                # dedupe candidate features (map semantics of the reference's
-                # featureMatches): keep the first landmark per feature
-                _, first = np.unique(feat_cat, return_index=True)
-                out[c] = (lm_cat[np.sort(first)], feat_cat[np.sort(first)])
+                # Duplicate candidate features (several landmarks claiming
+                # one feature) are kept, like the reference (cpp:683-684):
+                # PnP RANSAC arbitrates, and the attach step gates on the
+                # feature still being unassigned.
+                out[c] = (np.concatenate(lm_all), np.concatenate(feat_all))
             else:
                 out[c] = (np.zeros(0, np.int32), np.zeros(0, np.int32))
         return out
