@@ -53,7 +53,9 @@ def main():
                                      contrast_thresh=cfg.sift_contrast_thresh,
                                      edge_thresh=cfg.sift_edge_thresh,
                                      sigma0=cfg.sift_sigma0)
-        jax.block_until_ready(f.desc)
+        # host transfer forces real completion (block_until_ready is not
+        # reliable through the axon relay)
+        np.asarray(f.desc[0, :4]); np.asarray(f.xy[-1, :4])
         return f
 
     t0 = time.time(); feats = run_detect(); t_detect_cold = time.time() - t0
@@ -70,7 +72,7 @@ def main():
         m = knn.match_all_pairs(feats.desc, feats.mask, pair_idx,
                                 ratio_thresh=cfg.ratio_thresh,
                                 cross_check=cfg.cross_check)
-        jax.block_until_ready(m[0])
+        np.asarray(m[0][-1, :4])
         return m
 
     _ = run_knn()
@@ -118,7 +120,7 @@ def main():
         if prob is not None:
             def run_ba():
                 r = ba_lm.solve(prob, max_iters=50)
-                jax.block_until_ready(r.cost_final)
+                np.asarray(r.cost_final)
                 return r
             r, t_ba_warm = timed(run_ba)
             iters = max(int(r.iterations), 1)

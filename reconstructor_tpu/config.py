@@ -69,6 +69,7 @@ class ReconstructorConfig:
     # batched 9x9 nullspace solves dominate matching cost otherwise.
     fundamental_num_hypotheses: int = 512
     filter_chunk_pairs: int = 16         # pairs per jitted F-gate chunk
+    match_chunk_pairs: int = 64          # pairs per kNN matmul chunk (HBM bound)
     ransac_confidence: float = 0.99
 
     # ---- incremental engine ---------------------------------------------

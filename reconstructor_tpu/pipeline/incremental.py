@@ -319,10 +319,27 @@ class IncrementalReconstructor:
                 self.mesh, state.desc, state.kp_mask, pair_idx,
                 ratio_thresh=cfg.ratio_thresh, cross_check=cfg.cross_check)
         else:
-            midx, mmask = knn.match_all_pairs(
-                jnp.asarray(state.desc), jnp.asarray(state.kp_mask),
-                jnp.asarray(pair_idx),
-                ratio_thresh=cfg.ratio_thresh, cross_check=cfg.cross_check)
+            # chunk the pair axis: the (B, K, K) distance tensor must fit
+            # in HBM (300 x 4096^2 f32 would be 20 GB)
+            B = cfg.match_chunk_pairs
+            desc_j = jnp.asarray(state.desc)
+            mask_j = jnp.asarray(state.kp_mask)
+            P = pair_idx.shape[0]
+            futures = []
+            for s0 in range(0, P, B):
+                chunk = np.zeros((B, 2), np.int32)
+                e = min(s0 + B, P)
+                chunk[: e - s0] = pair_idx[s0:e]
+                futures.append((s0, e, knn.match_all_pairs(
+                    desc_j, mask_j, jnp.asarray(chunk),
+                    ratio_thresh=cfg.ratio_thresh,
+                    cross_check=cfg.cross_check)))
+            K = state.max_keypoints
+            midx = np.full((P, K), -1, np.int32)
+            mmask = np.zeros((P, K), bool)
+            for s0, e, (mi, mm) in futures:
+                midx[s0:e] = np.asarray(mi)[: e - s0]
+                mmask[s0:e] = np.asarray(mm)[: e - s0]
         midx = np.asarray(midx)
         mmask = np.asarray(mmask)
 
