@@ -128,6 +128,26 @@ def main():
             stats["ba_iters"] = iters
             stats["ba_s_per_iter"] = round(t_ba_warm / iters, 4)
 
+            # same solver, same problem, on the host CPU backend — the
+            # honest per-chip-vs-CPU comparison (the reference's Ceres
+            # DENSE_SCHUR on 4 threads is the production CPU analogue)
+            try:
+                cpu = jax.devices("cpu")[0]
+                with jax.default_device(cpu):
+                    prob_cpu = jax.tree_util.tree_map(
+                        lambda x: jax.device_put(np.asarray(x), cpu), prob)
+                    def run_ba_cpu():
+                        r = ba_lm.solve(prob_cpu, max_iters=50)
+                        np.asarray(r.cost_final)
+                        return r
+                    r_cpu, t_cpu = timed(run_ba_cpu)
+                    it_cpu = max(int(r_cpu.iterations), 1)
+                    stats["ba_cpu_s_per_iter"] = round(t_cpu / it_cpu, 4)
+                    stats["ba_tpu_vs_cpu_speedup"] = round(
+                        (t_cpu / it_cpu) / (t_ba_warm / iters), 2)
+            except Exception as e:
+                stats["ba_cpu_error"] = repr(e)
+
         # ---- quality ----------------------------------------------------
         from reconstructor_tpu.eval import ate
         centers = np.stack([-state.poses[i][:3, :3].T @ state.poses[i][:3, 3]
