@@ -233,3 +233,31 @@ class TestSuperGlueParity:
         assert idx.shape == (M,)
         matched = np.asarray(idx)[np.asarray(ok)]
         assert np.all(matched >= 0)
+
+
+class TestLearnedPipelinePath:
+    def test_superpoint_superglue_pipeline_plumbing(self, tmp_path):
+        """detector=superpoint + matcher=superglue drive the pipeline
+        mechanically (random weights: no quality expectations)."""
+        import numpy as np
+        from PIL import Image
+        from reconstructor_tpu.config import ReconstructorConfig
+        from reconstructor_tpu.pipeline.incremental import IncrementalReconstructor
+
+        rng = np.random.default_rng(0)
+        d = tmp_path / "imgs"
+        d.mkdir()
+        for i in range(2):
+            img = (rng.uniform(0, 255, (96, 128, 3))).astype(np.uint8)
+            Image.fromarray(img).save(str(d / f"{i}.png"))
+        cfg = ReconstructorConfig(detector="superpoint", matcher="superglue",
+                                  max_keypoints=64,
+                                  superpoint_conf_thresh=1e-6,
+                                  superglue_sinkhorn_iters=10,
+                                  superglue_score_thresh=0.0,
+                                  superglue_use_pallas_sinkhorn=False)
+        rec = IncrementalReconstructor(cfg, verbose=False)
+        state = rec.detect_features(str(d))
+        assert state.desc.shape == (2, 64, 256)
+        assert state.kp_score is not None
+        rec.match_features(state)  # runs the SuperGlue matcher end-to-end
