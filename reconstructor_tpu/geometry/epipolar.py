@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from reconstructor_tpu.geometry import camera as cam
 from reconstructor_tpu.geometry import se3, ransac, triangulation
+from reconstructor_tpu.geometry.linalg import smallest_eigvec
 
 
 def _normalize_points(pts: jnp.ndarray):
@@ -56,8 +57,7 @@ def _eight_point(pts1: jnp.ndarray, pts2: jnp.ndarray,
     x2, y2 = p2n[:, 0], p2n[:, 1]
     ones = jnp.ones_like(x1)
     A = jnp.stack([x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, ones], axis=-1)
-    _, vecs = jnp.linalg.eigh(A.T @ A)
-    M = vecs[:, 0].reshape(3, 3)
+    M = smallest_eigvec(A.T @ A).reshape(3, 3)
     M = T2.T @ M @ T1
     if rank2_project:
         U, S, Vt = jnp.linalg.svd(M)
@@ -135,8 +135,7 @@ def _refit(pts1, pts2, mask, essential: bool) -> jnp.ndarray:
     x2, y2 = p2n[:, 0], p2n[:, 1]
     ones = jnp.ones_like(x1)
     A = jnp.stack([x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, ones], axis=-1) * w
-    _, vecs = jnp.linalg.eigh(A.T @ A)
-    M = vecs[:, 0].reshape(3, 3)
+    M = smallest_eigvec(A.T @ A).reshape(3, 3)
     T1 = jnp.array([[s1, 0, -s1 * c1[0]], [0, s1, -s1 * c1[1]], [0, 0, 1]], dtype=pts1.dtype)
     T2 = jnp.array([[s2, 0, -s2 * c2[0]], [0, s2, -s2 * c2[1]], [0, 0, 1]], dtype=pts1.dtype)
     M = T2.T @ M @ T1
@@ -237,8 +236,7 @@ def _four_point_homography(p1: jnp.ndarray, p2: jnp.ndarray) -> jnp.ndarray:
     rows_b = jnp.stack([zeros, zeros, zeros, -x1, -y1, -ones,
                         y2 * x1, y2 * y1, y2], axis=-1)
     A = jnp.concatenate([rows_a, rows_b], axis=0)
-    _, vecs = jnp.linalg.eigh(A.T @ A)
-    H = vecs[:, 0].reshape(3, 3)
+    H = smallest_eigvec(A.T @ A).reshape(3, 3)
     H = jnp.linalg.inv(T2) @ H @ T1
     return H / jnp.where(jnp.abs(H[2, 2]) < 1e-12, 1e-12, H[2, 2])
 

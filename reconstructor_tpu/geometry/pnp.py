@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from reconstructor_tpu.geometry import camera as cam
 from reconstructor_tpu.geometry import se3, ransac
+from reconstructor_tpu.geometry.linalg import smallest_eigvec
 
 
 def _pnp_dlt(pts3d: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
@@ -37,8 +38,7 @@ def _pnp_dlt(pts3d: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
     rows_u = jnp.concatenate([X, zeros, -x * X], axis=-1)   # (S, 12)
     rows_v = jnp.concatenate([zeros, X, -y * X], axis=-1)   # (S, 12)
     A = jnp.concatenate([rows_u, rows_v], axis=0)            # (2S, 12)
-    _, vecs = jnp.linalg.eigh(A.T @ A)
-    P = vecs[:, 0].reshape(3, 4)
+    P = smallest_eigvec(A.T @ A).reshape(3, 4)
 
     # Resolve the global sign: points must land in front of the camera.
     depths = X @ P[2]
