@@ -182,8 +182,9 @@ def solve_pcg(prob: ba_lm.BAProblem, max_iters: int = 50,
         pts = jnp.where(accepted, pts_new, pts)
         lam = jnp.where(accepted, lam_new / lambda_down, lam_new)
         rel_drop = (cost - new_cost) / jnp.maximum(cost, 1e-12)
-        done = (accepted & (rel_drop < ftol) & (rel_drop >= 0)) \
-            | (~accepted) | (lam > 1e10)
+        # a fully-failed retry round only inflates lambda and tries again
+        # next outer iteration; termination is convergence or lambda blowup
+        done = (accepted & (rel_drop < ftol) & (rel_drop >= 0)) | (lam > 1e10)
         cost = jnp.where(accepted, new_cost, cost)
         return cam, pts, lam, cost, it + 1, done
 
