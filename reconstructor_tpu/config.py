@@ -38,7 +38,8 @@ class ReconstructorConfig:
     # ---- feature detection ---------------------------------------------
     detector: str = "sift"           # "sift" | "orb" | "superpoint"
     orb_fast_threshold: float = 0.06
-    max_keypoints: int = 2048        # fixed per-image keypoint capacity
+    max_keypoints: int = 4096        # fixed per-image keypoint capacity
+    # (4096 registers all 25 fountain views; 2048 loses the 4 tail views)
     sift_num_scales: int = 12        # full-res scale levels, ratio 2^(1/3)
     sift_sigma0: float = 0.8         # finest detection sigma (native px)
     sift_contrast_thresh: float = 0.004
