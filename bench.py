@@ -64,16 +64,24 @@ def main():
     stats["detect_warm_s"] = round(t_detect, 3)
     stats["detect_imgs_per_s"] = round(len(imgs) / t_detect, 1)
 
-    # ---- raw kNN matching (warm) ---------------------------------------
-    pair_idx = jnp.asarray(pairing.exhaustive_pairs(len(imgs)))
-    n_pairs = int(pair_idx.shape[0])
+    # ---- raw kNN matching (warm, chunked like the pipeline) ------------
+    pair_np = pairing.exhaustive_pairs(len(imgs))
+    n_pairs = int(pair_np.shape[0])
+    B = cfg.match_chunk_pairs
 
     def run_knn():
-        m = knn.match_all_pairs(feats.desc, feats.mask, pair_idx,
-                                ratio_thresh=cfg.ratio_thresh,
-                                cross_check=cfg.cross_check)
-        np.asarray(m[0][-1, :4])
-        return m
+        outs = []
+        for s0 in range(0, n_pairs, B):
+            chunk = np.zeros((B, 2), np.int32)
+            e = min(s0 + B, n_pairs)
+            chunk[: e - s0] = pair_np[s0:e]
+            outs.append(knn.match_all_pairs(feats.desc, feats.mask,
+                                            jnp.asarray(chunk),
+                                            ratio_thresh=cfg.ratio_thresh,
+                                            cross_check=cfg.cross_check))
+        for m in outs:
+            np.asarray(m[0][-1, :4])
+        return outs
 
     _ = run_knn()
     _, t_knn = timed(run_knn)
