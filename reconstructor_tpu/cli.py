@@ -21,7 +21,8 @@ def build_parser() -> argparse.ArgumentParser:
         description="TPU-native incremental structure-from-motion")
     p.add_argument("img_folder", help="folder of input images")
     p.add_argument("out_folder", help="output folder (clouds/ written here)")
-    p.add_argument("--detector", choices=["sift", "superpoint"], default="sift")
+    p.add_argument("--detector", choices=["sift", "orb", "superpoint"],
+                   default="sift")
     p.add_argument("--matcher", choices=["knn", "superglue"], default="knn")
     p.add_argument("--max-keypoints", type=int, default=2048)
     p.add_argument("--img-max-size", type=int, default=512)
