@@ -45,12 +45,13 @@ def match_pair(desc1: jnp.ndarray, desc2: jnp.ndarray,
              match_mask (K1,) bool).
     """
     d2 = match_pair_scores(desc1, desc2, mask1, mask2)
-    # top-2 smallest distances along axis 1
-    neg = -d2
-    vals, idx = jax.lax.top_k(neg, 2)            # (K1, 2)
-    best = -vals[:, 0]
-    second = -vals[:, 1]
-    nn = idx[:, 0]
+    # top-2 smallest distances along axis 1 via two min/argmin passes —
+    # measurably cheaper than generic lax.top_k on 4096-wide rows (top_k
+    # pays for a partial sort; two masked reductions are pure VPU sweeps)
+    nn = jnp.argmin(d2, axis=1)                  # (K1,)
+    best = jnp.take_along_axis(d2, nn[:, None], axis=1)[:, 0]
+    d2_masked = d2.at[jnp.arange(d2.shape[0]), nn].set(jnp.inf)
+    second = jnp.min(d2_masked, axis=1)
     # Lowe ratio on distances (FLANN uses non-squared; we compare squared
     # distances against ratio^2 — identical test).
     ratio_ok = best < (ratio_thresh * ratio_thresh) * second

@@ -81,11 +81,21 @@ def _filter_chunk(keys, pts1, pts2, mask, num_hypotheses: int, thresh_px: float)
     """Vmapped fundamental-RANSAC gate over a chunk of pairs.
 
     pts1/pts2: (B, K, 2); mask: (B, K). Returns inlier masks (B, K).
+
+    Model selection runs on a strided quarter-subsample of the match
+    slots (the (H, N) Sampson sweep is the F-gate's dominant cost and
+    its inlier-ratio ranking is just as sharp on 1k points); the winning
+    F then classifies every match once.
     """
+    K = pts1.shape[1]
+    stride = 4 if K >= 1024 else 1
+
     def one(key, p1, p2, m):
-        _, inl, _ = epipolar.estimate_fundamental(
-            key, p1, p2, m, thresh_px=thresh_px, num_hypotheses=num_hypotheses)
-        return inl
+        F, _, _ = epipolar.estimate_fundamental(
+            key, p1[::stride], p2[::stride], m[::stride],
+            thresh_px=thresh_px, num_hypotheses=num_hypotheses)
+        d = epipolar.sampson_distance(F, p1, p2)
+        return (d < thresh_px * thresh_px) & m
     return jax.vmap(one)(keys, pts1, pts2, mask)
 
 
