@@ -99,6 +99,17 @@ def main():
     pairs_per_s = n_pairs / t_match
     stats["match_pairs_per_s"] = round(pairs_per_s, 1)
 
+    # Print the headline as soon as it exists — the remaining quality
+    # stages take tens of minutes cold and must not be able to cost us
+    # the metric if the harness times the run out.
+    baseline_pairs_per_s = 4950 / 76.0  # reference: 100-img matching, OpenMP x4
+    print(json.dumps({
+        "metric": "matched_pairs_per_s",
+        "value": round(pairs_per_s, 2),
+        "unit": "pairs/s",
+        "vs_baseline": round(pairs_per_s / baseline_pairs_per_s, 2),
+    }), flush=True)
+
     # ---- incremental reconstruction ------------------------------------
     try:
         t0 = time.time()
@@ -166,15 +177,7 @@ def main():
     except Exception as e:  # never lose the headline metric
         stats["incremental_error"] = repr(e)
 
-    print(json.dumps(stats), file=sys.stderr)
-
-    baseline_pairs_per_s = 4950 / 76.0
-    print(json.dumps({
-        "metric": "matched_pairs_per_s",
-        "value": round(pairs_per_s, 2),
-        "unit": "pairs/s",
-        "vs_baseline": round(pairs_per_s / baseline_pairs_per_s, 2),
-    }))
+    print(json.dumps(stats), file=sys.stderr, flush=True)
 
 
 if __name__ == "__main__":
