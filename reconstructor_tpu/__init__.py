@@ -33,4 +33,15 @@ from reconstructor_tpu.config import ReconstructorConfig
 
 __version__ = "0.1.0"
 
-__all__ = ["ReconstructorConfig", "__version__"]
+
+def __getattr__(name):
+    # Lazy convenience export: `from reconstructor_tpu import
+    # IncrementalReconstructor` without paying pipeline import cost for
+    # users who only need the config or a submodule.
+    if name == "IncrementalReconstructor":
+        from reconstructor_tpu.pipeline.incremental import IncrementalReconstructor
+        return IncrementalReconstructor
+    raise AttributeError(name)
+
+
+__all__ = ["ReconstructorConfig", "IncrementalReconstructor", "__version__"]
