@@ -91,10 +91,12 @@ def main():
     # ---- full matching incl. epipolar gate (warm) ----------------------
     state = rec.detect_features(data)
     rec.match_features(state)          # cold: compiles the filter chunks
-    state.matches = {}
-    t0 = time.time()
-    rec.match_features(state)
-    t_match = time.time() - t0
+    t_match = float("inf")
+    for _ in range(3):                 # best-of-3: the remote tunnel adds
+        state.matches = {}             # multi-second jitter per dispatch
+        t0 = time.time()
+        rec.match_features(state)
+        t_match = min(t_match, time.time() - t0)
     stats["match_warm_s"] = round(t_match, 2)
     pairs_per_s = n_pairs / t_match
     stats["match_pairs_per_s"] = round(pairs_per_s, 1)
