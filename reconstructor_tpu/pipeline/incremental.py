@@ -664,8 +664,55 @@ class IncrementalReconstructor:
                     added += 1
         return added
 
+    def match_features_to_landmarks(self, state: ReconstructionState,
+                                    img: int):
+        """Direct 2D-3D mining: match the candidate's descriptors against
+        landmark descriptors (each landmark represented by its first
+        observation's descriptor).
+
+        No reference equivalent — its 2d-3d matches can only flow through
+        pairwise match chains (cpp:643-695), which starves views whose
+        pairwise matches were consumed by earlier registrations. One MXU
+        matmul against the whole map recovers them.
+        """
+        cfg = self.config
+        lm_obs0_img = state.lm_obs_img[:, 0]
+        lm_obs0_feat = state.lm_obs_feat[:, 0]
+        lm_desc = state.desc[lm_obs0_img, lm_obs0_feat]        # (L, D)
+        L = lm_desc.shape[0]
+        L_pad = _bucket(max(L, 1), lo=2048)
+        lm_desc_p = np.zeros((L_pad, lm_desc.shape[1]), np.float32)
+        lm_desc_p[:L] = lm_desc
+        lm_mask = np.zeros(L_pad, bool)
+        lm_mask[:L] = state.lm_obs_mask[:, 0]
+        midx, mmask = knn.match_pair(
+            jnp.asarray(state.desc[img]), jnp.asarray(lm_desc_p),
+            jnp.asarray(state.kp_mask[img]), jnp.asarray(lm_mask),
+            ratio_thresh=0.9, cross_check=True)
+        midx = np.asarray(midx)
+        sel = np.where(np.asarray(mmask) & (state.feat2lm[img] == -1))[0]
+        return midx[sel].astype(np.int32), sel.astype(np.int32)
+
+    def _try_register(self, state: ReconstructionState, img: int,
+                      lm_ids: np.ndarray, feat_ids: np.ndarray) -> bool:
+        if lm_ids.size < 6:
+            return False
+        pose, inl = self.register_image_pnp(state, img, lm_ids, feat_ids)
+        # Reject registrations the pose evidence cannot support (the
+        # reference registers unconditionally, cpp:797-801, which lets
+        # 1-inlier PnP poses poison the map; requiring a minimum inlier
+        # support and falling through to the next-ranked candidate is
+        # strictly higher-quality behavior).
+        if int(inl.sum()) < self.config.pnp_min_inliers:
+            self._log(f"rejecting img {img}: only {int(inl.sum())} PnP inliers")
+            return False
+        state.poses[img] = pose
+        self.triangulate_matched_landmarks(state, img, lm_ids[inl], feat_ids[inl])
+        state.registered.append(img)
+        return True
+
     def add_next_view(self, state: ReconstructionState) -> Optional[int]:
-        """addNextView parity (cpp:761-813)."""
+        """addNextView parity (cpp:761-813) + landmark-descriptor rescue."""
         candidates = [i for i in range(state.num_images) if i not in state.poses]
         if not candidates:
             return None
@@ -673,21 +720,18 @@ class IncrementalReconstructor:
         ranked = self.rank_next_images(state, matches_2d3d)
         for img in ranked:
             lm_ids, feat_ids = matches_2d3d[img]
-            if lm_ids.size < 6:
+            if self._try_register(state, img, lm_ids, feat_ids):
+                return img
+        # Rescue pass: every remaining candidate gets one shot at direct
+        # feature-to-landmark matching, best-connected first.
+        order = sorted(candidates, key=lambda c: -matches_2d3d[c][0].size)
+        for img in order:
+            if img in state.poses:
                 continue
-            pose, inl = self.register_image_pnp(state, img, lm_ids, feat_ids)
-            # Reject registrations the pose evidence cannot support (the
-            # reference registers unconditionally, cpp:797-801, which lets
-            # 1-inlier PnP poses poison the map; requiring a minimum inlier
-            # support and falling through to the next-ranked candidate is
-            # strictly higher-quality behavior).
-            if int(inl.sum()) < self.config.pnp_min_inliers:
-                self._log(f"rejecting img {img}: only {int(inl.sum())} PnP inliers")
-                continue
-            state.poses[img] = pose
-            self.triangulate_matched_landmarks(state, img, lm_ids[inl], feat_ids[inl])
-            state.registered.append(img)
-            return img
+            lm_ids, feat_ids = self.match_features_to_landmarks(state, img)
+            self._log(f"rescue 2d-3d for img {img}: {lm_ids.size} direct matches")
+            if self._try_register(state, img, lm_ids, feat_ids):
+                return img
         return None
 
     # ------------------------------------------------------------------
