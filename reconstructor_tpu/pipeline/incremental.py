@@ -521,11 +521,18 @@ class IncrementalReconstructor:
                 lm_all.append(lmids[ok])
                 feat_all.append(fc[ok])
             if lm_all:
-                # Duplicate candidate features (several landmarks claiming
-                # one feature) are kept, like the reference (cpp:683-684):
-                # PnP RANSAC arbitrates, and the attach step gates on the
-                # feature still being unassigned.
-                out[c] = (np.concatenate(lm_all), np.concatenate(feat_all))
+                lm_cat = np.concatenate(lm_all)
+                feat_cat = np.concatenate(feat_all)
+                # One landmark per candidate feature (first wins): the
+                # reference keeps duplicates (cpp:683-684) and leans on
+                # 10k adaptive RANSAC iterations to survive them, but in
+                # a fixed hypothesis budget duplicate features inside a
+                # minimal sample produce degenerate DLTs and starve the
+                # sampler. Starved views now fall through to the
+                # landmark-descriptor rescue pass instead.
+                _, first = np.unique(feat_cat, return_index=True)
+                keep = np.sort(first)
+                out[c] = (lm_cat[keep], feat_cat[keep])
             else:
                 out[c] = (np.zeros(0, np.int32), np.zeros(0, np.int32))
         return out
