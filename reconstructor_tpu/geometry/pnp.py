@@ -93,19 +93,44 @@ def _gauss_newton_refine(pose: jnp.ndarray, pts3d: jnp.ndarray, uv: jnp.ndarray,
 def solve_pnp_ransac(key: jax.Array, pts3d: jnp.ndarray, uv: jnp.ndarray,
                      intr: jnp.ndarray, mask: jnp.ndarray,
                      thresh_px: float = 4.0, num_hypotheses: int = 2048,
-                     refine_iters: int = 10):
+                     refine_iters: int = 10, minimal: str = "p3p"):
     """Full PnP RANSAC + polish.
+
+    ``minimal='p3p'`` (default) samples 3-point Grunert hypotheses — up to
+    4 candidate poses each, all scored. At low inlier ratios this is the
+    difference between ~50 clean hypotheses and ~1 for the 6-point DLT
+    (P(clean) = w^3 vs w^6), and matches cv::solvePnPRansac's default
+    minimal solver. ``minimal='dlt6'`` keeps the linear 6-point path.
 
     Returns (pose (4,4), inlier_mask (N,), num_inliers).
     """
     xy = cam.unproject(intr, uv)[:, :2]
 
-    solver = lambda p3, p2, u: _pnp_dlt(p3, p2)
-    residual = lambda pose, p3, p2, u: _reproj_residual_sq(pose, p3, u, intr)
-    pose, inl, cnt = ransac.ransac(
-        key, (pts3d, xy, uv), mask, solver, residual,
-        sample_size=6, num_hypotheses=num_hypotheses,
-        inlier_thresh=thresh_px * thresh_px)
+    if minimal == "p3p":
+        from reconstructor_tpu.geometry import p3p as p3p_mod
+        bearings_all = cam.unproject(intr, uv)
+        bearings_all = bearings_all / jnp.maximum(
+            jnp.linalg.norm(bearings_all, axis=-1, keepdims=True), 1e-12)
+        idx = ransac.sample_minimal_sets(key, mask, num_hypotheses, 3)
+        poses4 = jax.vmap(lambda i: p3p_mod.p3p_grunert(pts3d[i],
+                                                        bearings_all[i]))(idx)
+        models = poses4.reshape(-1, 4, 4)              # (4H, 4, 4)
+        res = jax.vmap(lambda T: _reproj_residual_sq(T, pts3d, uv, intr))(models)
+        res = jnp.where(jnp.isnan(res), jnp.inf, res)
+        inliers = (res < thresh_px * thresh_px) & mask[None, :]
+        counts = jnp.sum(inliers, axis=-1)
+        best = jnp.argmax(counts)
+        pose = models[best]
+        pose = jnp.where(jnp.any(jnp.isnan(pose)),
+                         jnp.eye(4, dtype=pose.dtype), pose)
+        inl = inliers[best]
+    else:
+        solver = lambda p3, p2, u: _pnp_dlt(p3, p2)
+        residual = lambda pose, p3, p2, u: _reproj_residual_sq(pose, p3, u, intr)
+        pose, inl, cnt = ransac.ransac(
+            key, (pts3d, xy, uv), mask, solver, residual,
+            sample_size=6, num_hypotheses=num_hypotheses,
+            inlier_thresh=thresh_px * thresh_px)
 
     w = inl.astype(pts3d.dtype)
     pose = _gauss_newton_refine(pose, pts3d, uv, intr, w, refine_iters)
