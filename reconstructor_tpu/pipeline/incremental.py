@@ -236,9 +236,28 @@ class IncrementalReconstructor:
 
         if out_folder:
             self._save(state, os.path.join(out_folder, "clouds/cloud_final.ply"))
+            self._write_report(state, out_folder)
         if self.verbose:
             self.timer.print_timings()
         return state
+
+    def _write_report(self, state: ReconstructionState, out_folder: str) -> None:
+        """Structured run report (observability beyond the reference's
+        stdout lines + ms table, SURVEY.md §5): stage timings, counts and
+        per-view registration summary as JSON next to the cloud."""
+        import json
+        report = {
+            "num_images": state.num_images,
+            "registered": state.registered,
+            "num_landmarks": int(state.num_landmarks),
+            "num_observations": int(state.lm_obs_mask.sum()),
+            "stage_timings_ms": {k: round(v, 1)
+                                 for k, v in self.timer.totals().items()},
+            "config": {k: v for k, v in vars(self.config).items()
+                       if isinstance(v, (int, float, str, bool, type(None)))},
+        }
+        with open(os.path.join(out_folder, "report.json"), "w") as f:
+            json.dump(report, f, indent=2)
 
     # ------------------------------------------------------------------
     def _superpoint_params(self):

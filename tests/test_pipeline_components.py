@@ -148,3 +148,28 @@ class TestPLY:
         np.testing.assert_array_equal(cols2[10:], [[0, 250, 0]] * 2)
         # second camera center = -R^T t = -t for identity R
         np.testing.assert_allclose(pts2[11], [-1, -2, -3], atol=1e-5)
+
+
+class TestRunReport:
+    def test_report_written(self, tmp_path):
+        import json
+        from tests.test_integration import render_synthetic_views
+        from PIL import Image
+        from reconstructor_tpu.config import ReconstructorConfig
+        from reconstructor_tpu.pipeline.incremental import IncrementalReconstructor
+
+        rng = np.random.default_rng(5)
+        imgs, _, _, _ = render_synthetic_views(rng, n_views=3)
+        d = tmp_path / "imgs"; d.mkdir()
+        for i, im in enumerate(imgs):
+            Image.fromarray((im * 255).astype(np.uint8)).convert("RGB").save(
+                str(d / f"{i:02d}.png"))
+        cfg = ReconstructorConfig(max_keypoints=256, ransac_num_hypotheses=256,
+                                  pnp_num_hypotheses=256, focal_px=300.0,
+                                  pnp_min_inliers=8, min_2d3d_match_num=5)
+        rec = IncrementalReconstructor(cfg, verbose=False)
+        rec.reconstruct(str(d), out_folder=str(tmp_path / "out"))
+        report = json.load(open(tmp_path / "out" / "report.json"))
+        assert report["num_images"] == 3
+        assert "feature extraction" in report["stage_timings_ms"]
+        assert report["num_landmarks"] > 0
