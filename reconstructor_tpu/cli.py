@@ -35,6 +35,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="dump cloud_before_i/cloud_after_i each iteration")
     p.add_argument("--save-matches", action="store_true",
                    help="dump side-by-side match visualizations")
+    p.add_argument("--render", action="store_true",
+                   help="render the final cloud to render.png")
     p.add_argument("--checkpoint", default=None,
                    help="path to save/resume reconstruction state (.npz)")
     p.add_argument("--eval-ate", default=None, metavar="GOLDEN_PLY",
@@ -62,6 +64,12 @@ def main(argv=None) -> int:
     if args.save_matches:
         from reconstructor_tpu.utils import viz
         viz.draw_all_matches(state, args.img_folder, args.out_folder)
+
+    if args.render:
+        import os
+        from reconstructor_tpu.utils import viz
+        viz.render_cloud(os.path.join(args.out_folder, "clouds/cloud_final.ply"),
+                         os.path.join(args.out_folder, "render.png"))
 
     if args.checkpoint:
         from reconstructor_tpu.pipeline import checkpoint

@@ -59,3 +59,42 @@ def draw_keypoints(rgb: np.ndarray, xy: np.ndarray,
         draw.ellipse([x - radius, y - radius, x + radius, y + radius],
                      outline=(0, 255, 0))
     return img
+
+
+def render_cloud(ply_path: str, out_png: str, views=((20, -60), (10, -120)),
+                 point_size: float = 0.5) -> None:
+    """Offline render of a reconstruction cloud to PNG.
+
+    The reference ships viewer screenshots (fountain1.jpg/fountain2.jpg,
+    README:11-21) from its interactive PCL window (utils.cpp:278-326);
+    this is the headless equivalent: two elevation/azimuth views of the
+    colored landmarks with camera centers overdrawn in green.
+    """
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from reconstructor_tpu.io import ply as ply_mod
+
+    pts, cols = ply_mod.load_cloud(ply_path)
+    is_cam = np.all(cols == np.array([0, 250, 0], np.uint8), axis=1)
+    lm, lm_c = pts[~is_cam], cols[~is_cam]
+    cams = pts[is_cam]
+
+    # robust extent clip so far outliers don't flatten the view
+    lo, hi = np.percentile(lm, [2, 98], axis=0)
+    keep = np.all((lm >= lo) & (lm <= hi), axis=1)
+    lm, lm_c = lm[keep], lm_c[keep]
+
+    fig = plt.figure(figsize=(7 * len(views), 7))
+    for i, (elev, azim) in enumerate(views):
+        ax = fig.add_subplot(1, len(views), i + 1, projection="3d")
+        ax.scatter(lm[:, 0], lm[:, 1], lm[:, 2], c=lm_c / 255.0,
+                   s=point_size, linewidths=0)
+        if cams.size:
+            ax.scatter(cams[:, 0], cams[:, 1], cams[:, 2], c="lime", s=30,
+                       marker="^", depthshade=False)
+        ax.view_init(elev=elev, azim=azim)
+        ax.set_axis_off()
+    fig.tight_layout()
+    fig.savefig(out_png, dpi=110, facecolor="black")
+    plt.close(fig)
