@@ -59,6 +59,7 @@ class ReconstructorConfig:
     superglue_score_thresh: float = 0.5
     superglue_sinkhorn_iters: int = 100
     superglue_use_pallas_sinkhorn: bool = True  # fused VMEM-resident kernel on TPU
+    superglue_chunk_pairs: int = 8   # pairs per vmapped SuperGlue dispatch
     min_matches_for_filter: int = 7  # need >=7 for F estimation
 
     # ---- geometric verification ----------------------------------------

@@ -246,20 +246,13 @@ def log_sinkhorn(scores: jnp.ndarray, alpha: jnp.ndarray,
     return couplings + u[:, None] + v[None, :] - norm
 
 
-@functools.partial(jax.jit, static_argnames=("sinkhorn_iters", "score_thresh",
-                                             "use_pallas"))
-def match_pair(params: Dict[str, Any],
-               desc0, desc1, xy0, xy1, score0, score1,
-               mask0, mask1, shape0, shape1,
-               sinkhorn_iters: int = 100, score_thresh: float = 0.5,
-               use_pallas: bool = False):
-    """Full SuperGlue matching of one image pair.
-
-    Inputs are the fixed-capacity per-image feature arrays; shapes are
-    (h, w) int pairs. Returns (match_idx (M,) into image1 or -1,
-    match_mask (M,), match_scores (M,)) — the keep-if-score>0.5 contract
-    of FeatureMatcherSuperglue.cpp:76-87.
-    """
+def _match_pair_impl(params: Dict[str, Any],
+                     desc0, desc1, xy0, xy1, score0, score1,
+                     mask0, mask1, shape0, shape1,
+                     sinkhorn_iters: int, score_thresh: float,
+                     use_pallas: bool):
+    """Unjitted single-pair core; vmappable over a batch of pairs (the
+    Pallas Sinkhorn call batches to an extra grid dimension)."""
     xy0n = normalize_keypoints(xy0, shape0[0], shape0[1])
     xy1n = normalize_keypoints(xy1, shape1[0], shape1[1])
     f0, f1 = gnn_forward(params, desc0, desc1, xy0n, xy1n,
@@ -278,3 +271,50 @@ def match_pair(params: Dict[str, Any],
     mscores = P[jnp.arange(P.shape[0]), idx0]
     ok = mutual & (mscores > score_thresh) & mask0
     return jnp.where(ok, idx0, -1).astype(jnp.int32), ok, mscores
+
+
+@functools.partial(jax.jit, static_argnames=("sinkhorn_iters", "score_thresh",
+                                             "use_pallas"))
+def match_pair(params: Dict[str, Any],
+               desc0, desc1, xy0, xy1, score0, score1,
+               mask0, mask1, shape0, shape1,
+               sinkhorn_iters: int = 100, score_thresh: float = 0.5,
+               use_pallas: bool = False):
+    """Full SuperGlue matching of one image pair.
+
+    Inputs are the fixed-capacity per-image feature arrays; shapes are
+    (h, w) int pairs. Returns (match_idx (M,) into image1 or -1,
+    match_mask (M,), match_scores (M,)) — the keep-if-score>0.5 contract
+    of FeatureMatcherSuperglue.cpp:76-87.
+    """
+    return _match_pair_impl(params, desc0, desc1, xy0, xy1, score0, score1,
+                            mask0, mask1, shape0, shape1,
+                            sinkhorn_iters, score_thresh, use_pallas)
+
+
+@functools.partial(jax.jit, static_argnames=("sinkhorn_iters", "score_thresh",
+                                             "use_pallas"))
+def match_pairs_batched(params: Dict[str, Any],
+                        desc, xy, score, kmask, shapes, pair_idx,
+                        sinkhorn_iters: int = 100, score_thresh: float = 0.5,
+                        use_pallas: bool = False):
+    """Batched all-pairs SuperGlue: one device program per pair *chunk*.
+
+    The reference runs SuperGlue once per pair inside the OpenMP loop
+    (FeatureMatcherSuperglue.cpp:51-101, one TorchScript forward each);
+    on TPU a per-pair dispatch leaves the chip idle between launches, so
+    the whole (B, K, K) attention+Sinkhorn stack is vmapped over the
+    chunk — the MXU sees one big batched program.
+
+    desc (N, K, D), xy (N, K, 2), score (N, K), kmask (N, K),
+    shapes (N, 2), pair_idx (B, 2). Returns (match_idx (B, K),
+    match_mask (B, K), match_scores (B, K)).
+    """
+    def one(pair):
+        i, j = pair[0], pair[1]
+        return _match_pair_impl(
+            params, desc[i], desc[j], xy[i], xy[j], score[i], score[j],
+            kmask[i], kmask[j], shapes[i], shapes[j],
+            sinkhorn_iters, score_thresh, use_pallas)
+
+    return jax.vmap(one)(pair_idx)

@@ -382,7 +382,12 @@ class IncrementalReconstructor:
 
     def _match_superglue(self, state: ReconstructionState, pair_idx):
         """SuperGlue matching over all pairs (FeatureMatcherSuperglue
-        parity: +-0.7 coord normalization, score > 0.5 gate)."""
+        parity: +-0.7 coord normalization, score > 0.5 gate).
+
+        Pairs are processed in fixed-size vmapped chunks — one device
+        program per chunk instead of the reference's per-pair TorchScript
+        forward inside its OpenMP loop; chunks are dispatched
+        asynchronously so host gather/scatter overlaps device compute."""
         from reconstructor_tpu.matching import superglue as sg
         cfg = self.config
         params = self._superglue_params()
@@ -395,16 +400,22 @@ class IncrementalReconstructor:
         score = jnp.asarray(state.kp_score)
         kmask = jnp.asarray(state.kp_mask)
         shapes = jnp.asarray(state.shapes)
-        for p, (i, j) in enumerate(pair_idx):
-            idx, ok, _ = sg.match_pair(
-                params, desc[i], desc[j], xy[i], xy[j], score[i], score[j],
-                kmask[i], kmask[j], shapes[i], shapes[j],
+        use_pallas = (cfg.superglue_use_pallas_sinkhorn
+                      and jax.devices()[0].platform not in ("cpu",))
+        B = cfg.superglue_chunk_pairs
+        futures = []
+        for s0 in range(0, P, B):
+            e = min(s0 + B, P)
+            chunk = np.zeros((B, 2), np.int32)
+            chunk[: e - s0] = pair_idx[s0:e]
+            futures.append((s0, e, sg.match_pairs_batched(
+                params, desc, xy, score, kmask, shapes, jnp.asarray(chunk),
                 sinkhorn_iters=cfg.superglue_sinkhorn_iters,
                 score_thresh=cfg.superglue_score_thresh,
-                use_pallas=cfg.superglue_use_pallas_sinkhorn
-                and jax.devices()[0].platform not in ("cpu",))
-            midx[p] = np.asarray(idx)
-            mmask[p] = np.asarray(ok)
+                use_pallas=use_pallas)))
+        for s0, e, (idx, ok, _) in futures:
+            midx[s0:e] = np.asarray(idx)[: e - s0]
+            mmask[s0:e] = np.asarray(ok)[: e - s0]
         return midx, mmask
 
     def _filter_matches(self, state, pair_idx, midx, mmask) -> np.ndarray:

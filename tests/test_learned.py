@@ -234,6 +234,38 @@ class TestSuperGlueParity:
         matched = np.asarray(idx)[np.asarray(ok)]
         assert np.all(matched >= 0)
 
+    def test_batched_pairs_equal_sequential(self):
+        """match_pairs_batched (vmapped chunk) == per-pair match_pair."""
+        key = jax.random.PRNGKey(1)
+        params = sg.init_params(key)
+        rng = np.random.default_rng(5)
+        N, K = 4, 12
+        desc = rng.standard_normal((N, K, 256)).astype(np.float32)
+        desc /= np.linalg.norm(desc, axis=-1, keepdims=True)
+        xy = rng.uniform(0, 90, (N, K, 2)).astype(np.float32)
+        score = rng.uniform(0.2, 1.0, (N, K)).astype(np.float32)
+        kmask = np.ones((N, K), bool)
+        kmask[:, K - 2:] = False
+        shapes = np.full((N, 2), 100, np.int32)
+        pair_idx = np.array([[0, 1], [1, 2], [0, 3], [2, 3]], np.int32)
+
+        bidx, bok, bsc = sg.match_pairs_batched(
+            params, jnp.asarray(desc), jnp.asarray(xy), jnp.asarray(score),
+            jnp.asarray(kmask), jnp.asarray(shapes), jnp.asarray(pair_idx),
+            sinkhorn_iters=30, score_thresh=0.0)
+        for p, (i, j) in enumerate(pair_idx):
+            idx, ok, msc = sg.match_pair(
+                params, jnp.asarray(desc[i]), jnp.asarray(desc[j]),
+                jnp.asarray(xy[i]), jnp.asarray(xy[j]),
+                jnp.asarray(score[i]), jnp.asarray(score[j]),
+                jnp.asarray(kmask[i]), jnp.asarray(kmask[j]),
+                jnp.asarray(shapes[i]), jnp.asarray(shapes[j]),
+                sinkhorn_iters=30, score_thresh=0.0)
+            np.testing.assert_array_equal(np.asarray(bidx[p]), np.asarray(idx))
+            np.testing.assert_array_equal(np.asarray(bok[p]), np.asarray(ok))
+            np.testing.assert_allclose(np.asarray(bsc[p]), np.asarray(msc),
+                                       rtol=2e-4, atol=2e-5)
+
 
 class TestLearnedPipelinePath:
     def test_superpoint_superglue_pipeline_plumbing(self, tmp_path):
