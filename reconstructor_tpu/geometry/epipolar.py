@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from reconstructor_tpu.geometry import camera as cam
 from reconstructor_tpu.geometry import se3, ransac, triangulation
-from reconstructor_tpu.geometry.linalg import smallest_eigvec
+from reconstructor_tpu.geometry.linalg import smallest_eigvec, project_rank2
 
 
 def _normalize_points(pts: jnp.ndarray):
@@ -58,15 +58,25 @@ def _eight_point(pts1: jnp.ndarray, pts2: jnp.ndarray,
     ones = jnp.ones_like(x1)
     A = jnp.stack([x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, ones], axis=-1)
     M = smallest_eigvec(A.T @ A).reshape(3, 3)
-    M = T2.T @ M @ T1
     if rank2_project:
-        U, S, Vt = jnp.linalg.svd(M)
         if essential:
+            M = T2.T @ M @ T1
+            U, S, Vt = jnp.linalg.svd(M)
             s = (S[0] + S[1]) / 2.0
             S = jnp.array([s, s, 0.0], dtype=M.dtype)
+            M = (U * S[None, :]) @ Vt
         else:
-            S = S.at[2].set(0.0)
-        M = (U * S[None, :]) @ Vt
+            # SVD-free truncation (hot path: vmapped over every RANSAC
+            # hypothesis of every pair in the F-gate). Projecting in the
+            # *normalized* frame (Hartley's formulation) keeps the
+            # singular values balanced — forming M^T M on the
+            # denormalized F (entries spanning ~1e-6..1) would lose the
+            # small sigma3 to f32 squaring. Rank <= 2 survives the
+            # invertible denormalization.
+            M = project_rank2(M)
+            M = T2.T @ M @ T1
+    else:
+        M = T2.T @ M @ T1
     return M / jnp.maximum(jnp.linalg.norm(M), 1e-12)
 
 
@@ -138,14 +148,16 @@ def _refit(pts1, pts2, mask, essential: bool) -> jnp.ndarray:
     M = smallest_eigvec(A.T @ A).reshape(3, 3)
     T1 = jnp.array([[s1, 0, -s1 * c1[0]], [0, s1, -s1 * c1[1]], [0, 0, 1]], dtype=pts1.dtype)
     T2 = jnp.array([[s2, 0, -s2 * c2[0]], [0, s2, -s2 * c2[1]], [0, 0, 1]], dtype=pts1.dtype)
-    M = T2.T @ M @ T1
-    U, S, Vt = jnp.linalg.svd(M)
     if essential:
+        M = T2.T @ M @ T1
+        U, S, Vt = jnp.linalg.svd(M)
         s = (S[0] + S[1]) / 2.0
         S = jnp.array([s, s, 0.0], dtype=M.dtype)
+        M = (U * S[None, :]) @ Vt
     else:
-        S = S.at[2].set(0.0)
-    M = (U * S[None, :]) @ Vt
+        # rank-2 projection in the normalized frame (see _eight_point)
+        M = project_rank2(M)
+        M = T2.T @ M @ T1
     return M / jnp.maximum(jnp.linalg.norm(M), 1e-12)
 
 
