@@ -68,9 +68,16 @@ def main():
     stats["detect_imgs_per_s"] = round(len(imgs) / t_detect, 1)
 
     # ---- raw kNN matching (warm, chunked like the pipeline) ------------
+    from reconstructor_tpu.matching import pallas_knn
     pair_np = pairing.exhaustive_pairs(len(imgs))
     n_pairs = int(pair_np.shape[0])
     B = cfg.match_chunk_pairs
+    use_fused = (cfg.knn_use_pallas
+                 and jax.devices()[0].platform not in ("cpu",)
+                 and pallas_knn.supported(feats.desc.shape[1],
+                                          feats.desc.shape[2]))
+    knn_fn = pallas_knn.match_all_pairs_fused if use_fused else knn.match_all_pairs
+    stats["knn_fused"] = bool(use_fused)
 
     def run_knn():
         outs = []
@@ -78,10 +85,10 @@ def main():
             chunk = np.zeros((B, 2), np.int32)
             e = min(s0 + B, n_pairs)
             chunk[: e - s0] = pair_np[s0:e]
-            outs.append(knn.match_all_pairs(feats.desc, feats.mask,
-                                            jnp.asarray(chunk),
-                                            ratio_thresh=cfg.ratio_thresh,
-                                            cross_check=cfg.cross_check))
+            outs.append(knn_fn(feats.desc, feats.mask,
+                               jnp.asarray(chunk),
+                               ratio_thresh=cfg.ratio_thresh,
+                               cross_check=cfg.cross_check))
         for m in outs:
             np.asarray(m[0][-1, :4])
         return outs

@@ -70,8 +70,9 @@ class ReconstructorConfig:
     # inlier fraction is high, so a smaller budget loses nothing and the
     # batched 9x9 nullspace solves dominate matching cost otherwise.
     fundamental_num_hypotheses: int = 512
-    filter_chunk_pairs: int = 16         # pairs per jitted F-gate chunk
+    filter_chunk_pairs: int = 64         # pairs per jitted F-gate chunk
     match_chunk_pairs: int = 64          # pairs per kNN matmul chunk (HBM bound)
+    knn_use_pallas: bool = True          # fused VMEM top-2 kernel on TPU
     ransac_confidence: float = 0.99
 
     # ---- incremental engine ---------------------------------------------

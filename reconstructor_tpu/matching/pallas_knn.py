@@ -1,0 +1,155 @@
+"""Fused exact top-2 kNN matching as a Pallas TPU kernel.
+
+The XLA path (matching/knn.py) materializes the (K, K) squared-distance
+matrix in HBM and re-reads it for each reduction (row min, row argmin,
+second-best min, column argmin for the cross-check): ~5 passes over
+67 MB per pair at K = 4096 — HBM-bandwidth bound at ~1.9 ms/pair while
+the underlying matmul is ~0.1 ms of MXU work.
+
+This kernel never lets the distance matrix leave the chip. Grid =
+(pair, row-tile); per step it matmuls a (TR, D) row tile of image-1
+descriptors against the whole resident (K, D) image-2 block (MXU), then
+reduces the (TR, K) tile in VMEM:
+
+- row top-2 (best / second distances + best index) written per row tile,
+- the cross-check's column-best row index accumulated across row tiles
+  in a revisited (1, K) output block (grid iterations are sequential on
+  a TPU core, so the accumulation is race-free by construction).
+
+HBM traffic per pair drops to the descriptors themselves (~4 MB) and
+the (K,)-sized outputs. Masked slots ride a large-finite bias (1e30)
+instead of inf so no inf-inf NaNs can appear in the reductions.
+
+Capability parity: FlannMatcher::matchFeatures (FeatureMatcher.cpp:32-65)
+— exact instead of approximate kNN; Lowe ratio and mutual cross-check
+applied by the caller on the kernel outputs.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIG = 1e30
+
+
+def _knn_kernel(d1_ref, d2_ref, bias1_ref, bias2_ref,
+                best_ref, second_ref, arg_ref, colarg_ref,
+                colbest_ref):
+    r = pl.program_id(1)
+    TR = d1_ref.shape[1]
+    K = d2_ref.shape[1]
+
+    d1 = d1_ref[0]                                    # (TR, D)
+    d2 = d2_ref[0]                                    # (K, D)
+    sim = jax.lax.dot_general(d1, d2, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dist = jnp.maximum(2.0 - 2.0 * sim, 0.0)          # (TR, K)
+    dist = dist + bias2_ref[0, 0][None, :]            # mask image-2 slots
+
+    # ---- row top-2 ---------------------------------------------------
+    best = jnp.min(dist, axis=1)                      # (TR,)
+    arg = jnp.argmin(dist, axis=1).astype(jnp.int32)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (TR, K), 1)
+    second = jnp.min(jnp.where(col_ids == arg[:, None], _BIG, dist), axis=1)
+    best_ref[0, 0] = best
+    second_ref[0, 0] = second
+    arg_ref[0, 0] = arg
+
+    # ---- column best (for the mutual cross-check) --------------------
+    dist_c = dist + bias1_ref[0, 0][:, None]          # mask image-1 rows
+    colmin = jnp.min(dist_c, axis=0)                  # (K,)
+    colarg = (jnp.argmin(dist_c, axis=0).astype(jnp.int32) + r * TR)
+
+    @pl.when(r == 0)
+    def _():
+        colbest_ref[0] = jnp.full_like(colbest_ref[0], _BIG)
+        colarg_ref[0, 0] = jnp.zeros_like(colarg_ref[0, 0])
+
+    upd = colmin < colbest_ref[0]
+    colbest_ref[0] = jnp.where(upd, colmin, colbest_ref[0])
+    colarg_ref[0, 0] = jnp.where(upd, colarg, colarg_ref[0, 0])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _knn_topk2(desc1, desc2, bias1, bias2, interpret: bool = False):
+    """desc1/desc2: (B, K, D) f32; bias*: (B, K) f32 (0 valid / 1e30 not).
+
+    Returns (best (B,K), second (B,K), arg (B,K) int32, colarg (B,K) int32).
+    """
+    B, K, D = desc1.shape
+    TR = min(256, K)
+    grid = (B, K // TR)
+    # (B, K) operands ride as (B, 1, K): TPU block shapes need the last
+    # two dims (sublane, lane) tileable — (1, TR) blocks of a 2-D array
+    # are not, (1, 1, TR) blocks of a 3-D array are.
+    kernel = pl.pallas_call(
+        _knn_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, TR, D), lambda p, r: (p, r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, D), lambda p, r: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TR), lambda p, r: (p, 0, r),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, K), lambda p, r: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, TR), lambda p, r: (p, 0, r),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TR), lambda p, r: (p, 0, r),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TR), lambda p, r: (p, 0, r),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, K), lambda p, r: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 1, K), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, K), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, K), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, K), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((1, K), jnp.float32)],
+        interpret=interpret,
+    )
+    best, second, arg, colarg = kernel(
+        desc1, desc2, bias1[:, None, :], bias2[:, None, :])
+    return best[:, 0], second[:, 0], arg[:, 0], colarg[:, 0]
+
+
+def supported(K: int, D: int) -> bool:
+    """Whether the fused kernel handles this descriptor layout on TPU."""
+    return K % 128 == 0 and D % 128 == 0
+
+
+@functools.partial(jax.jit, static_argnames=("ratio_thresh", "cross_check",
+                                             "interpret"))
+def match_all_pairs_fused(desc: jnp.ndarray, mask: jnp.ndarray,
+                          pair_idx: jnp.ndarray,
+                          ratio_thresh: float = 0.7,
+                          cross_check: bool = True,
+                          interpret: bool = False):
+    """Drop-in fused equivalent of matching.knn.match_all_pairs.
+
+    desc: (N, K, D); mask: (N, K); pair_idx: (P, 2).
+    Returns (match_idx (P, K) int32 into image j or -1, match_mask (P, K)).
+    """
+    i, j = pair_idx[:, 0], pair_idx[:, 1]
+    bias = jnp.where(mask, 0.0, _BIG).astype(jnp.float32)
+    best, second, arg, colarg = _knn_topk2(
+        desc[i], desc[j], bias[i], bias[j], interpret=interpret)
+
+    ratio_ok = best < (ratio_thresh * ratio_thresh) * second
+    ok = ratio_ok & mask[i] & (best < _BIG * 0.5)
+    if cross_check:
+        mutual = jnp.take_along_axis(colarg, arg, axis=1) == \
+            jnp.arange(arg.shape[1], dtype=jnp.int32)[None, :]
+        ok = ok & mutual
+    return jnp.where(ok, arg, -1).astype(jnp.int32), ok

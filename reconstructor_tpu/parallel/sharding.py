@@ -82,7 +82,8 @@ def pad_to_multiple(arr: np.ndarray, multiple: int, axis: int = 0,
 
 def match_all_pairs_sharded(mesh: Mesh, desc: np.ndarray, mask: np.ndarray,
                             pair_idx: np.ndarray, ratio_thresh: float = 0.7,
-                            cross_check: bool = True):
+                            cross_check: bool = True,
+                            use_pallas: Optional[bool] = None):
     """All-pairs descriptor matching with the pair axis sharded over chips.
 
     Replaces the reference's OpenMP collapse(2) loop
@@ -94,7 +95,7 @@ def match_all_pairs_sharded(mesh: Mesh, desc: np.ndarray, mask: np.ndarray,
 
     Returns (match_idx (P, K) int32, match_mask (P, K) bool) as numpy.
     """
-    from reconstructor_tpu.matching import knn
+    from reconstructor_tpu.matching import knn, pallas_knn
 
     n_dev = mesh.devices.size
     P_orig = pair_idx.shape[0]
@@ -104,8 +105,13 @@ def match_all_pairs_sharded(mesh: Mesh, desc: np.ndarray, mask: np.ndarray,
     mask_r = replicate(mesh, jnp.asarray(mask))
     pairs_s = shard_batch(mesh, jnp.asarray(pair_pad))
 
+    if use_pallas is None:
+        use_pallas = (mesh.devices.flat[0].platform not in ("cpu",)
+                      and pallas_knn.supported(desc.shape[1], desc.shape[2]))
+    match_fn = (pallas_knn.match_all_pairs_fused if use_pallas
+                else knn.match_all_pairs)
     matcher = jax.jit(
-        functools.partial(knn.match_all_pairs, ratio_thresh=ratio_thresh,
+        functools.partial(match_fn, ratio_thresh=ratio_thresh,
                           cross_check=cross_check),
         in_shardings=(NamedSharding(mesh, P()), NamedSharding(mesh, P()),
                       NamedSharding(mesh, P(AXIS))),

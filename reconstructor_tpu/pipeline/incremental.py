@@ -349,7 +349,15 @@ class IncrementalReconstructor:
                 ratio_thresh=cfg.ratio_thresh, cross_check=cfg.cross_check)
         else:
             # chunk the pair axis: the (B, K, K) distance tensor must fit
-            # in HBM (300 x 4096^2 f32 would be 20 GB)
+            # in HBM (300 x 4096^2 f32 would be 20 GB). On TPU the fused
+            # Pallas kernel keeps the distance tile in VMEM entirely.
+            from reconstructor_tpu.matching import pallas_knn
+            use_fused = (cfg.knn_use_pallas
+                         and jax.devices()[0].platform not in ("cpu",)
+                         and pallas_knn.supported(state.desc.shape[1],
+                                                  state.desc.shape[2]))
+            match_fn = (pallas_knn.match_all_pairs_fused if use_fused
+                        else knn.match_all_pairs)
             B = cfg.match_chunk_pairs
             desc_j = jnp.asarray(state.desc)
             mask_j = jnp.asarray(state.kp_mask)
@@ -359,7 +367,7 @@ class IncrementalReconstructor:
                 chunk = np.zeros((B, 2), np.int32)
                 e = min(s0 + B, P)
                 chunk[: e - s0] = pair_idx[s0:e]
-                futures.append((s0, e, knn.match_all_pairs(
+                futures.append((s0, e, match_fn(
                     desc_j, mask_j, jnp.asarray(chunk),
                     ratio_thresh=cfg.ratio_thresh,
                     cross_check=cfg.cross_check)))

@@ -31,3 +31,36 @@ class TestFusedSinkhorn:
         P = np.exp(np.asarray(Z))
         np.testing.assert_allclose(P[:-1].sum(axis=1), 1.0, rtol=1e-3)
         np.testing.assert_allclose(P[:, :-1].sum(axis=0), 1.0, rtol=1e-3)
+
+
+class TestPallasKnn:
+    def test_fused_matches_xla_path(self):
+        from reconstructor_tpu.matching import knn, pallas_knn
+        rng = np.random.default_rng(11)
+        N, K, D = 5, 256, 128
+        desc = rng.standard_normal((N, K, D)).astype(np.float32)
+        desc /= np.linalg.norm(desc, axis=-1, keepdims=True)
+        mask = rng.uniform(size=(N, K)) < 0.8
+        pair_idx = np.array([[0, 1], [2, 3], [1, 4], [3, 0]], np.int32)
+        for cross in (True, False):
+            ri, rm = knn.match_all_pairs(
+                jnp.asarray(desc), jnp.asarray(mask), jnp.asarray(pair_idx),
+                ratio_thresh=0.8, cross_check=cross)
+            fi, fm = pallas_knn.match_all_pairs_fused(
+                jnp.asarray(desc), jnp.asarray(mask), jnp.asarray(pair_idx),
+                ratio_thresh=0.8, cross_check=cross, interpret=True)
+            np.testing.assert_array_equal(np.asarray(rm), np.asarray(fm))
+            np.testing.assert_array_equal(np.asarray(ri), np.asarray(fi))
+
+    def test_fused_fully_masked_image(self):
+        from reconstructor_tpu.matching import pallas_knn
+        rng = np.random.default_rng(12)
+        N, K, D = 2, 128, 128
+        desc = rng.standard_normal((N, K, D)).astype(np.float32)
+        mask = np.zeros((N, K), bool)
+        mask[0] = True  # image 1 has no valid keypoints
+        fi, fm = pallas_knn.match_all_pairs_fused(
+            jnp.asarray(desc), jnp.asarray(mask),
+            jnp.asarray([[0, 1]], np.int32), interpret=True)
+        assert not np.asarray(fm).any()
+        assert (np.asarray(fi) == -1).all()
