@@ -71,7 +71,7 @@ class ReconstructorConfig:
     # batched 9x9 nullspace solves dominate matching cost otherwise.
     fundamental_num_hypotheses: int = 512
     filter_chunk_pairs: int = 64         # pairs per jitted F-gate chunk
-    match_chunk_pairs: int = 64          # pairs per kNN matmul chunk (HBM bound)
+    match_chunk_pairs: int = 256         # pairs per matching+gate chunk (HBM bound)
     knn_use_pallas: bool = True          # fused VMEM top-2 kernel on TPU
     ransac_confidence: float = 0.99
 

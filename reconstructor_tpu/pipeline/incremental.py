@@ -99,6 +99,42 @@ def _filter_chunk(keys, pts1, pts2, mask, num_hypotheses: int, thresh_px: float)
     return jax.vmap(one)(keys, pts1, pts2, mask)
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "ratio_thresh", "cross_check", "use_fused", "num_hypotheses",
+    "thresh_px", "min_matches"))
+def _match_filter_chunk(keys, desc, kmask, xy, pair_chunk,
+                        ratio_thresh: float, cross_check: bool,
+                        use_fused: bool, num_hypotheses: int,
+                        thresh_px: float, min_matches: int):
+    """kNN matching + epipolar gate for one pair chunk in ONE device
+    program: the matched-coordinate gather happens on device, so the raw
+    match table never round-trips to the host between the stages (the
+    host-side (P, K, 2) gather and its transfers dominated the matching
+    wall-clock before this fusion).
+
+    Returns (match_idx (B, K) int32, final mask (B, K) bool).
+    """
+    from reconstructor_tpu.matching import pallas_knn
+    if use_fused:
+        midx, mmask = pallas_knn.match_all_pairs_fused(
+            desc, kmask, pair_chunk, ratio_thresh=ratio_thresh,
+            cross_check=cross_check)
+    else:
+        midx, mmask = knn.match_all_pairs(
+            desc, kmask, pair_chunk, ratio_thresh=ratio_thresh,
+            cross_check=cross_check)
+    K = desc.shape[1]
+    p1 = xy[pair_chunk[:, 0]]                                    # (B, K, 2)
+    p2 = xy[pair_chunk[:, 1][:, None], jnp.clip(midx, 0, K - 1)]  # (B, K, 2)
+    inl = _filter_chunk(keys, p1, p2, mmask,
+                        num_hypotheses=num_hypotheses, thresh_px=thresh_px)
+    # need >= 7 matches for F estimation; keep raw matches otherwise
+    # (SequentialReconstructor.cpp:237)
+    counts = jnp.sum(mmask, axis=1)
+    out = jnp.where((counts >= min_matches)[:, None], inl & mmask, mmask)
+    return midx, out
+
+
 @functools.partial(jax.jit, static_argnames=("num_hypotheses", "thresh_px"))
 def _initial_pose(key, uv1, uv2, intr1, intr2, mask,
                   num_hypotheses: int, thresh_px: float):
@@ -351,6 +387,8 @@ class IncrementalReconstructor:
             # chunk the pair axis: the (B, K, K) distance tensor must fit
             # in HBM (300 x 4096^2 f32 would be 20 GB). On TPU the fused
             # Pallas kernel keeps the distance tile in VMEM entirely.
+            # Matching and the epipolar gate run as ONE program per chunk
+            # (filter=True), all chunks dispatched asynchronously.
             from reconstructor_tpu.matching import pallas_knn
             use_fused = (cfg.knn_use_pallas
                          and jax.devices()[0].platform not in ("cpu",)
@@ -361,22 +399,34 @@ class IncrementalReconstructor:
             B = cfg.match_chunk_pairs
             desc_j = jnp.asarray(state.desc)
             mask_j = jnp.asarray(state.kp_mask)
+            xy_j = jnp.asarray(state.xy)
             P = pair_idx.shape[0]
             futures = []
             for s0 in range(0, P, B):
                 chunk = np.zeros((B, 2), np.int32)
                 e = min(s0 + B, P)
                 chunk[: e - s0] = pair_idx[s0:e]
-                futures.append((s0, e, match_fn(
-                    desc_j, mask_j, jnp.asarray(chunk),
-                    ratio_thresh=cfg.ratio_thresh,
-                    cross_check=cfg.cross_check)))
+                if filter:
+                    keys = jax.random.split(self._next_key(), B)
+                    futures.append((s0, e, _match_filter_chunk(
+                        keys, desc_j, mask_j, xy_j, jnp.asarray(chunk),
+                        ratio_thresh=cfg.ratio_thresh,
+                        cross_check=cfg.cross_check, use_fused=use_fused,
+                        num_hypotheses=cfg.fundamental_num_hypotheses,
+                        thresh_px=cfg.fundamental_thresh_px,
+                        min_matches=cfg.min_matches_for_filter)))
+                else:
+                    futures.append((s0, e, match_fn(
+                        desc_j, mask_j, jnp.asarray(chunk),
+                        ratio_thresh=cfg.ratio_thresh,
+                        cross_check=cfg.cross_check)))
             K = state.max_keypoints
             midx = np.full((P, K), -1, np.int32)
             mmask = np.zeros((P, K), bool)
             for s0, e, (mi, mm) in futures:
                 midx[s0:e] = np.asarray(mi)[: e - s0]
                 mmask[s0:e] = np.asarray(mm)[: e - s0]
+            filter = False      # the gate already ran on device
         midx = np.asarray(midx)
         mmask = np.asarray(mmask)
 
