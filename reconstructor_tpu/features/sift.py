@@ -234,7 +234,11 @@ def _descriptor_at(gauss: jnp.ndarray, s_idx: jnp.ndarray, xy: jnp.ndarray,
     ys = xy[1] + py
     xs = xy[0] + px
     # bilinear patch sampling (nearest-neighbor was tried for 4x fewer
-    # gathers but visibly degrades matching on low-frequency content)
+    # gathers but visibly degrades matching on low-frequency content;
+    # a (1,2,2) dynamic-slice block gather was also tried — Mosaic pads
+    # each block to a full tile, exploding the working set; flattened
+    # 1-D gathers win an isolated microbench but LOSE in context, where
+    # the scalar s_idx lets XLA reduce each tap to a 2-D gather).
     y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, H - 2)
     x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, W - 2)
     fy = ys - y0
@@ -281,31 +285,23 @@ def _descriptor_at(gauss: jnp.ndarray, s_idx: jnp.ndarray, xy: jnp.ndarray,
 
     w_desc = jnp.exp(-(rx ** 2 + ry ** 2) / (2.0 * 8.0 ** 2)) * mag
 
-    cx0 = jnp.floor(cx - 0.5)
-    cy0 = jnp.floor(cy - 0.5)
-    ob0 = jnp.floor(ob)
-
-    # trilinear binning as 8 compare-and-reduce passes (see the hist36
-    # comment: scatter-free on purpose)
-    bin_ids = jnp.arange(128)[None, :]
-    v = jnp.zeros((128,), mag.dtype)
-    for dyb in (0, 1):
-        for dxb in (0, 1):
-            for dob in (0, 1):
-                yb = cy0 + dyb
-                xb = cx0 + dxb
-                ob_i = (ob0 + dob) % 8
-                wy = 1.0 - jnp.abs(cy - 0.5 - yb)
-                wx = 1.0 - jnp.abs(cx - 0.5 - xb)
-                wo = 1.0 - jnp.abs(ob - ob0 - dob)
-                w = w_desc * jnp.clip(wy, 0, 1) * jnp.clip(wx, 0, 1) * jnp.clip(wo, 0, 1)
-                valid = (yb >= 0) & (yb < 4) & (xb >= 0) & (xb < 4)
-                w = jnp.where(valid, w, 0.0)
-                yb_i = jnp.clip(yb.astype(jnp.int32), 0, 3)
-                xb_i = jnp.clip(xb.astype(jnp.int32), 0, 3)
-                flatidx = ((yb_i * 4 + xb_i) * 8 + ob_i.astype(jnp.int32)).reshape(-1, 1)
-                v = v + jnp.sum(jnp.where(flatidx == bin_ids,
-                                          w.reshape(-1, 1), 0.0), axis=0)
+    # Trilinear binning, factorized: the 128 bin weights are an outer
+    # product of per-axis triangular kernels — clip(1-|c-0.5-y|) hits
+    # exactly the two adjacent cells (and zeroes out-of-range cells), the
+    # circular min(|d|, 8-|d|) form does the same for orientation. The
+    # whole histogram is then one (16, S) x (S, 8) contraction per
+    # keypoint instead of 8 compare-and-reduce sweeps over all 128 bins —
+    # ~5x fewer VPU ops and the reduction is matmul-shaped. Identical
+    # math to the loop formulation it replaced (same weights, same bins).
+    s_flat = w_desc.reshape(-1)
+    cells = jnp.arange(4, dtype=mag.dtype)
+    Wy = jnp.clip(1.0 - jnp.abs(cy.reshape(-1, 1) - 0.5 - cells[None, :]), 0, 1)
+    Wx = jnp.clip(1.0 - jnp.abs(cx.reshape(-1, 1) - 0.5 - cells[None, :]), 0, 1)
+    obins = jnp.arange(8, dtype=mag.dtype)
+    do = jnp.abs(ob.reshape(-1, 1) - obins[None, :])
+    Wo = jnp.clip(1.0 - jnp.minimum(do, 8.0 - do), 0, 1)
+    A = (Wy[:, :, None] * Wx[:, None, :]).reshape(-1, 16) * s_flat[:, None]
+    v = jnp.einsum("sm,so->mo", A, Wo).reshape(128)
     v = v / jnp.maximum(jnp.linalg.norm(v), 1e-12)
     v = jnp.minimum(v, 0.2)
     v = v / jnp.maximum(jnp.linalg.norm(v), 1e-12)
