@@ -220,12 +220,23 @@ class IncrementalReconstructor:
     # ------------------------------------------------------------------
     def reconstruct(self, img_folder: str, out_folder: Optional[str] = None,
                     save_intermediate: bool = False) -> ReconstructionState:
-        cfg = self.config
+        with self.timer.event("feature extraction"):
+            state = self.detect_features(img_folder)
+        return self.reconstruct_from_state(state, out_folder, save_intermediate)
+
+    def reconstruct_from_state(self, state: ReconstructionState,
+                               out_folder: Optional[str] = None,
+                               save_intermediate: bool = False) -> ReconstructionState:
+        """Run the full pipeline from a prepared feature state.
+
+        Public entry for custom frontends (injected features/descriptors)
+        and synthetic-scene evaluation — everything after detection:
+        matching, initialization, the incremental register/BA loop, and
+        output artifacts.
+        """
         if out_folder:
             os.makedirs(os.path.join(out_folder, "clouds"), exist_ok=True)
 
-        with self.timer.event("feature extraction"):
-            state = self.detect_features(img_folder)
         with self.timer.event("feature matching"):
             self.match_features(state)
         with self.timer.event("initial pair and pose estimation"):

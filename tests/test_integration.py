@@ -86,6 +86,27 @@ def render_synthetic_views(rng, n_views=4, h=256, w=320, n_pts=300):
     return imgs, np.stack(poses), intr, pts
 
 
+class TestInjectedSyntheticScene:
+    """Feature-level synthetic scene with exact ground truth: the pipeline
+    must recover correspondence (kNN + ratio + epipolar gate), reject all
+    clutter, register every view and hit near-zero ATE."""
+
+    def test_ground_truth_recovery(self):
+        from reconstructor_tpu.eval.synth import make_synthetic_state, pose_ate
+        state, gt_poses, _ = make_synthetic_state(
+            n_views=6, n_points=200, clutter=24, seed=3)
+        cfg = ReconstructorConfig(max_keypoints=state.max_keypoints,
+                                  focal_px=520.0)
+        rec = IncrementalReconstructor(cfg, verbose=False)
+        state = rec.reconstruct_from_state(state)
+        assert len(state.registered) == 6
+        # every landmark is a true scene point (clutter rejected)
+        assert state.num_landmarks <= 200
+        assert state.num_landmarks > 120
+        res = pose_ate(state.poses, gt_poses)
+        assert res["ate_rmse_normalized"] < 0.005
+
+
 class TestSyntheticPipeline:
     def test_full_pipeline_recovers_geometry(self, tmp_path):
         rng = np.random.default_rng(11)
