@@ -54,6 +54,52 @@ class TestSift:
         assert np.all(xy[:, 0] < 128 - 8) and np.all(xy[:, 1] < 96 - 8)
         assert np.all(xy[:, 0] >= 8) and np.all(xy[:, 1] >= 8)
 
+    def test_pitch_resample_exact(self):
+        """Resampled levels must equal bilinear samples of the original."""
+        rng = np.random.default_rng(5)
+        gauss = jnp.asarray(rng.standard_normal((4, 40, 56)).astype(np.float32))
+        sigma_list = [0.8 * 2 ** (i / 3.0) for i in range(4)]
+        rs, pitches = sift._resample_pitch_levels(gauss, sigma_list, 1, 3)
+        rs, pitches = np.asarray(rs), np.asarray(pitches)
+        g = np.asarray(gauss)
+        for rel, s in enumerate(range(1, 3)):
+            p = pitches[rel]
+            for u, v in [(0, 0), (3, 7), (17, 29), (31, 50)]:
+                yc = min(u * p, 39.0); xc = min(v * p, 55.0)
+                y0, x0 = int(min(yc, 38)), int(min(xc, 54))
+                fy, fx = yc - y0, xc - x0
+                want = (g[s, y0, x0] * (1-fy) * (1-fx) + g[s, y0, x0+1] * (1-fy) * fx
+                        + g[s, y0+1, x0] * fy * (1-fx) + g[s, y0+1, x0+1] * fy * fx)
+                np.testing.assert_allclose(rs[rel, u, v], want, rtol=2e-5, atol=2e-5)
+
+    def test_descriptor_rotation_invariance(self):
+        """90-degree rotated image: descriptors of the same blobs match."""
+        rng = np.random.default_rng(6)
+        img, _ = make_blob_image(rng)
+        rot = np.rot90(img).copy()
+        h = max(img.shape[0], rot.shape[0]); w = max(img.shape[1], rot.shape[1])
+        batch = np.zeros((2, h, w), np.float32)
+        batch[0, :img.shape[0], :img.shape[1]] = img
+        batch[1, :rot.shape[0], :rot.shape[1]] = rot
+        shapes = jnp.asarray([[img.shape[0], img.shape[1]],
+                              [rot.shape[0], rot.shape[1]]], jnp.int32)
+        feats = sift.detect_and_describe(jnp.asarray(batch), shapes,
+                                         max_keypoints=128)
+        midx, mmask = knn.match_pair(feats.desc[0], feats.desc[1],
+                                     feats.mask[0], feats.mask[1],
+                                     ratio_thresh=0.8)
+        midx, mmask = np.asarray(midx), np.asarray(mmask)
+        xy0 = np.asarray(feats.xy[0]); xy1 = np.asarray(feats.xy[1])
+        n_checked = n_good = 0
+        for i in np.nonzero(mmask)[0]:
+            x, y = xy0[i]
+            # (x, y) -> rot90 coords: (y, W-1-x)
+            xr, yr = y, img.shape[1] - 1 - x
+            n_checked += 1
+            n_good += np.hypot(*(xy1[midx[i]] - [xr, yr])) < 3.0
+        assert n_checked >= 15
+        assert n_good / n_checked > 0.8
+
     def test_descriptors_normalized(self):
         rng = np.random.default_rng(2)
         img, _ = make_blob_image(rng)
