@@ -95,6 +95,11 @@ class ReconstructorConfig:
     ba_lambda_up: float = 4.0
     ba_lambda_down: float = 2.0
     ba_ftol: float = 1e-8
+    # Extra global refinement rounds (validity sweep + BA + track
+    # completion) after the last view registers. The reference stops at
+    # the last per-view BA; the tail views it registers last never get a
+    # re-triangulation pass, which these rounds provide.
+    final_refinement_rounds: int = 2
 
     # ---- capacities (fixed shapes for jit) ------------------------------
     max_landmarks: int = 65536

@@ -281,6 +281,15 @@ class IncrementalReconstructor:
                     self._save(state, os.path.join(out_folder, f"clouds/cloud_after_{it}.ply"))
             self._log(f"registered img {added} | landmarks: {state.num_landmarks}")
 
+        for r in range(self.config.final_refinement_rounds):
+            with self.timer.event("final refinement"):
+                self.check_landmark_validity(state, drop=True)
+                self.bundle_adjust(state)
+                keep = self.check_landmark_validity(state, drop=True)
+                state.remove_landmarks(keep)
+                self.complete_tracks(state)
+            self._log(f"final refinement {r + 1}: {state.num_landmarks} landmarks")
+
         if out_folder:
             self._save(state, os.path.join(out_folder, "clouds/cloud_final.ply"))
             self._write_report(state, out_folder)
