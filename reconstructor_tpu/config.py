@@ -100,6 +100,14 @@ class ReconstructorConfig:
     # the last per-view BA; the tail views it registers last never get a
     # re-triangulation pass, which these rounds provide.
     final_refinement_rounds: int = 2
+    # Local (windowed) BA: when > 0 and more than ba_global_every views
+    # are registered, each new view triggers a local BA over itself plus
+    # its (window-1) most covisible registered cameras, with fixed
+    # co-observing anchors; a full global BA still runs every
+    # ba_global_every registrations and in the final refinement rounds.
+    # 0 = reference behavior (global BA after every view).
+    ba_local_window: int = 0
+    ba_global_every: int = 8
 
     # ---- capacities (fixed shapes for jit) ------------------------------
     max_landmarks: int = 65536

@@ -269,11 +269,22 @@ class IncrementalReconstructor:
                     self._log("no registrable view left; stopping early")
                     break
             retried = False
-            with self.timer.event("global bundle adjustment"):
+            cfg = self.config
+            use_local = (cfg.ba_local_window > 0
+                         and len(state.registered) > max(cfg.ba_global_every,
+                                                         cfg.ba_local_window + 2)
+                         and (len(state.registered) % cfg.ba_global_every != 0))
+            with self.timer.event("local bundle adjustment" if use_local
+                                  else "global bundle adjustment"):
                 inl_before = self.check_landmark_validity(state, drop=True)
                 if out_folder and save_intermediate:
                     self._save(state, os.path.join(out_folder, f"clouds/cloud_before_{it}.ply"), inl_before)
-                self.bundle_adjust(state)
+                if use_local:
+                    window = self._covisible_window(state, added,
+                                                    cfg.ba_local_window)
+                    self.bundle_adjust(state, local_cams=window)
+                else:
+                    self.bundle_adjust(state)
                 inl_after = self.check_landmark_validity(state, drop=True)
                 state.remove_landmarks(inl_after)
                 self.complete_tracks(state)
@@ -881,11 +892,62 @@ class IncrementalReconstructor:
         return valid
 
     # ------------------------------------------------------------------
-    def bundle_adjust(self, state: ReconstructionState) -> None:
-        """Global BA over all registered cameras and landmarks
-        (BundleAdjuster::adjust parity)."""
+    def _covisible_window(self, state: ReconstructionState, img: int,
+                          window: int) -> List[int]:
+        """``img`` plus its (window-1) most covisible registered cameras,
+        ranked by shared-landmark count."""
+        rows = ((state.lm_obs_img == img) & state.lm_obs_mask).any(axis=1)
+        co_img = state.lm_obs_img[rows]
+        co_msk = state.lm_obs_mask[rows]
+        counts = np.bincount(co_img[co_msk], minlength=state.num_images)
+        counts[img] = 0
+        reg = np.zeros(state.num_images, bool)
+        reg[state.registered] = True
+        counts[~reg] = 0
+        top = np.argsort(-counts)[:max(window - 1, 0)]
+        return [img] + [int(t) for t in top if counts[t] > 0]
+
+    def bundle_adjust(self, state: ReconstructionState,
+                      local_cams: Optional[List[int]] = None) -> None:
+        """Bundle adjustment (BundleAdjuster::adjust parity).
+
+        Global by default: all registered cameras and landmarks. With
+        ``local_cams`` (a subset of registered image ids) this becomes a
+        COLMAP-style *local* BA: only landmarks observed by the window
+        participate, only window cameras move, and the cameras outside
+        the window that co-observe those landmarks enter as fixed
+        anchors (which also pins the gauge). The reference has no local
+        mode — every view pays a full global solve, the dominant cost
+        beyond ~25 views.
+        """
         cfg = self.config
-        order = state.registered
+        obs_lm, obs_img, obs_feat = state.flat_observations()
+        # only observations from registered cameras participate
+        reg_mask = np.isin(obs_img, state.registered)
+        obs_lm, obs_img, obs_feat = obs_lm[reg_mask], obs_img[reg_mask], obs_feat[reg_mask]
+
+        lm_sel = None
+        if local_cams is None:
+            order = list(state.registered)
+            L = state.num_landmarks
+            points_src = state.lm_xyz
+        else:
+            local_set = set(int(c) for c in local_cams)
+            # landmarks observed by >=1 window camera, with ALL their
+            # registered observations (fixed co-observers anchor them)
+            lm_sel = np.unique(obs_lm[np.isin(obs_img, list(local_set))])
+            keep = np.isin(obs_lm, lm_sel)
+            obs_lm, obs_img, obs_feat = obs_lm[keep], obs_img[keep], obs_feat[keep]
+            remap = np.full(state.num_landmarks, -1, np.int64)
+            remap[lm_sel] = np.arange(lm_sel.size)
+            obs_lm = remap[obs_lm]
+            # fixed anchors first, window cameras after (order is free —
+            # the gauge comes from the fixed anchors, not from index 0)
+            participating = set(np.unique(obs_img).tolist()) | local_set
+            order = sorted(participating - local_set) + sorted(local_set)
+            L = lm_sel.size
+            points_src = state.lm_xyz[lm_sel]
+
         C = len(order)
         C_pad = _round_up(C, 16)
         g2l = {g: l for l, g in enumerate(order)}
@@ -898,12 +960,7 @@ class IncrementalReconstructor:
             cam_params[l, 3:6] = T[:3, 3]
             cam_params[l, 6:] = state.intrinsics[g]
 
-        obs_lm, obs_img, obs_feat = state.flat_observations()
-        # only observations from registered cameras participate
-        reg_mask = np.isin(obs_img, order)
-        obs_lm, obs_img, obs_feat = obs_lm[reg_mask], obs_img[reg_mask], obs_feat[reg_mask]
         O = obs_lm.size
-        L = state.num_landmarks
         O_pad = _bucket(max(O, 1), lo=4096)
         L_pad = _bucket(max(L, 1), lo=2048)
 
@@ -917,11 +974,24 @@ class IncrementalReconstructor:
         obs_mask[:O] = True
 
         points = np.zeros((L_pad, 3), np.float32)
-        points[:L] = state.lm_xyz
+        points[:L] = points_src
 
         cam_free = np.zeros((C_pad, 12), np.float32)
-        cam_free[:C] = np.asarray(ba_lm.make_cam_free_mask(
-            C, cfg.ba_intrinsics_free_min_cams))
+        if local_cams is None:
+            cam_free[:C] = np.asarray(ba_lm.make_cam_free_mask(
+                C, cfg.ba_intrinsics_free_min_cams))
+        else:
+            n_fixed = C - len(local_set)
+            if n_fixed == 0:
+                # no anchors — fall back to the reference gauge policy
+                cam_free[:C] = np.asarray(ba_lm.make_cam_free_mask(
+                    C, cfg.ba_intrinsics_free_min_cams))
+            else:
+                cam_free[n_fixed:C, :6] = 1.0
+                # intrinsics policy follows the FULL registered count
+                if len(state.registered) >= cfg.ba_intrinsics_free_min_cams:
+                    cam_free[n_fixed:C, 6:8] = 1.0   # focal free
+                    cam_free[n_fixed:C, 10:12] = 1.0  # distortion free
 
         prob = ba_lm.BAProblem(
             cam_params=jnp.asarray(cam_params),
@@ -931,7 +1001,8 @@ class IncrementalReconstructor:
             obs_uv=jnp.asarray(obs_uv),
             obs_mask=jnp.asarray(obs_mask),
             cam_free=jnp.asarray(cam_free))
-        self._last_ba_problem = prob
+        if local_cams is None:
+            self._last_ba_problem = prob
         max_iters = cfg.ba_max_iters_small if C < 10 else cfg.ba_max_iters_large
         common = dict(max_iters=max_iters,
                       init_lambda=cfg.ba_init_lambda,
@@ -952,13 +1023,18 @@ class IncrementalReconstructor:
 
         new_cams = np.asarray(result.cam_params)
         for g, l in g2l.items():
+            if local_cams is not None and g not in local_set:
+                continue  # fixed anchor — unchanged by construction
             R = np.asarray(se3.angle_axis_to_rotation(jnp.asarray(new_cams[l, :3])))
             T = np.eye(4, dtype=np.float32)
             T[:3, :3] = R
             T[:3, 3] = new_cams[l, 3:6]
             state.poses[g] = T
             state.intrinsics[g] = new_cams[l, 6:]
-        state.lm_xyz = np.asarray(result.points)[:L]
+        if lm_sel is None:
+            state.lm_xyz = np.asarray(result.points)[:L]
+        else:
+            state.lm_xyz[lm_sel] = np.asarray(result.points)[:L]
 
     # ------------------------------------------------------------------
     def _save(self, state: ReconstructionState, path: str,

@@ -106,6 +106,21 @@ class TestInjectedSyntheticScene:
         res = pose_ate(state.poses, gt_poses)
         assert res["ate_rmse_normalized"] < 0.005
 
+    def test_local_ba_matches_global_quality(self):
+        """Windowed local BA + periodic global must reach the same ATE."""
+        from reconstructor_tpu.eval.synth import make_synthetic_state, pose_ate
+        state, gt_poses, _ = make_synthetic_state(
+            n_views=9, n_points=220, clutter=16, seed=4)
+        cfg = ReconstructorConfig(max_keypoints=state.max_keypoints,
+                                  focal_px=520.0,
+                                  ba_local_window=4, ba_global_every=5,
+                                  final_refinement_rounds=1)
+        rec = IncrementalReconstructor(cfg, verbose=False)
+        state = rec.reconstruct_from_state(state)
+        assert len(state.registered) == 9
+        res = pose_ate(state.poses, gt_poses)
+        assert res["ate_rmse_normalized"] < 0.005
+
 
 class TestSyntheticPipeline:
     def test_full_pipeline_recovers_geometry(self, tmp_path):
