@@ -41,6 +41,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="path to save/resume reconstruction state (.npz)")
     p.add_argument("--eval-ate", default=None, metavar="GOLDEN_PLY",
                    help="report ATE against a golden cloud after the run")
+    p.add_argument("--local-ba-window", type=int, default=0,
+                   help="windowed local BA size (0 = global BA every view)")
+    p.add_argument("--global-ba-every", type=int, default=8,
+                   help="full global BA every N registrations (with local BA)")
+    p.add_argument("--final-refinement", type=int, default=2,
+                   help="extra global BA rounds after the last view")
     p.add_argument("--quiet", action="store_true")
     return p
 
@@ -56,7 +62,10 @@ def main(argv=None) -> int:
         max_keypoints=args.max_keypoints, img_max_size=args.img_max_size,
         focal_px=args.focal_px, focal_length_factor=args.focal_factor,
         superpoint_weights=args.superpoint_weights,
-        superglue_weights=args.superglue_weights)
+        superglue_weights=args.superglue_weights,
+        ba_local_window=args.local_ba_window,
+        ba_global_every=args.global_ba_every,
+        final_refinement_rounds=args.final_refinement)
     rec = IncrementalReconstructor(cfg, verbose=not args.quiet)
     state = rec.reconstruct(args.img_folder, args.out_folder,
                             save_intermediate=args.save_intermediate)

@@ -37,9 +37,10 @@ from jax.experimental.pallas import tpu as pltpu
 _BIG = 1e30
 
 
-def _knn_kernel(d1_ref, d2_ref, bias1_ref, bias2_ref,
+def _knn_kernel(idx_ref, d1_ref, d2_ref, bias1_ref, bias2_ref,
                 best_ref, second_ref, arg_ref, colarg_ref,
                 colbest_ref):
+    del idx_ref  # consumed by the BlockSpec index maps (scalar prefetch)
     r = pl.program_id(1)
     TR = d1_ref.shape[1]
     K = d2_ref.shape[1]
@@ -76,51 +77,56 @@ def _knn_kernel(d1_ref, d2_ref, bias1_ref, bias2_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _knn_topk2(desc1, desc2, bias1, bias2, interpret: bool = False):
-    """desc1/desc2: (B, K, D) f32; bias*: (B, K) f32 (0 valid / 1e30 not).
+def _knn_topk2(desc, bias, pair_idx, interpret: bool = False):
+    """desc: (N, K, D) f32; bias: (N, K) f32 (0 valid / 1e30 not);
+    pair_idx: (B, 2) int32 image indices.
 
     Returns (best (B,K), second (B,K), arg (B,K) int32, colarg (B,K) int32).
+
+    The pair table rides as a scalar-prefetch operand: the BlockSpec
+    index maps select each pair's descriptor blocks straight out of the
+    resident (N, K, D) array, so no (B, K, D) gathered copies of the
+    descriptors are ever materialized in HBM (at K=4096 those copies
+    were 2x512 MB of traffic per 256-pair chunk — comparable to the
+    matmul time itself).
     """
-    B, K, D = desc1.shape
+    N, K, D = desc.shape
+    B = pair_idx.shape[0]
     TR = min(256, K)
     grid = (B, K // TR)
-    # (B, K) operands ride as (B, 1, K): TPU block shapes need the last
+    # (N, K) operands ride as (N, 1, K): TPU block shapes need the last
     # two dims (sublane, lane) tileable — (1, TR) blocks of a 2-D array
     # are not, (1, 1, TR) blocks of a 3-D array are.
-    kernel = pl.pallas_call(
-        _knn_kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, TR, D), lambda p, r: (p, r, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K, D), lambda p, r: (p, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, TR), lambda p, r: (p, 0, r),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, K), lambda p, r: (p, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TR, D), lambda p, r, idx: (idx[p, 0], r, 0)),
+            pl.BlockSpec((1, K, D), lambda p, r, idx: (idx[p, 1], 0, 0)),
+            pl.BlockSpec((1, 1, TR), lambda p, r, idx: (idx[p, 0], 0, r)),
+            pl.BlockSpec((1, 1, K), lambda p, r, idx: (idx[p, 1], 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, TR), lambda p, r: (p, 0, r),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, TR), lambda p, r: (p, 0, r),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, TR), lambda p, r: (p, 0, r),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, K), lambda p, r: (p, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TR), lambda p, r, idx: (p, 0, r)),
+            pl.BlockSpec((1, 1, TR), lambda p, r, idx: (p, 0, r)),
+            pl.BlockSpec((1, 1, TR), lambda p, r, idx: (p, 0, r)),
+            pl.BlockSpec((1, 1, K), lambda p, r, idx: (p, 0, 0)),
         ],
+        scratch_shapes=[pltpu.VMEM((1, K), jnp.float32)],
+    )
+    kernel = pl.pallas_call(
+        _knn_kernel,
+        grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, 1, K), jnp.float32),
             jax.ShapeDtypeStruct((B, 1, K), jnp.float32),
             jax.ShapeDtypeStruct((B, 1, K), jnp.int32),
             jax.ShapeDtypeStruct((B, 1, K), jnp.int32),
         ],
-        scratch_shapes=[pltpu.VMEM((1, K), jnp.float32)],
         interpret=interpret,
     )
-    best, second, arg, colarg = kernel(
-        desc1, desc2, bias1[:, None, :], bias2[:, None, :])
+    best, second, arg, colarg = kernel(pair_idx, desc, desc, bias[:, None, :],
+                                       bias[:, None, :])
     return best[:, 0], second[:, 0], arg[:, 0], colarg[:, 0]
 
 
@@ -143,8 +149,8 @@ def match_all_pairs_fused(desc: jnp.ndarray, mask: jnp.ndarray,
     """
     i, j = pair_idx[:, 0], pair_idx[:, 1]
     bias = jnp.where(mask, 0.0, _BIG).astype(jnp.float32)
-    best, second, arg, colarg = _knn_topk2(
-        desc[i], desc[j], bias[i], bias[j], interpret=interpret)
+    best, second, arg, colarg = _knn_topk2(desc, bias, pair_idx,
+                                           interpret=interpret)
 
     ratio_ok = best < (ratio_thresh * ratio_thresh) * second
     ok = ratio_ok & mask[i] & (best < _BIG * 0.5)

@@ -132,7 +132,11 @@ def _match_filter_chunk(keys, desc, kmask, xy, pair_chunk,
     # (SequentialReconstructor.cpp:237)
     counts = jnp.sum(mmask, axis=1)
     out = jnp.where((counts >= min_matches)[:, None], inl & mmask, mmask)
-    return midx, out
+    # fold the mask on device and ship int16 ids: halves the device->host
+    # result traffic (K <= 32k always) and removes the host-side
+    # per-pair np.where sweep from the hot loop
+    midx16 = jnp.where(out, midx, -1).astype(jnp.int16)
+    return midx16, jnp.sum(out, axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("num_hypotheses", "thresh_px"))
@@ -404,6 +408,16 @@ class IncrementalReconstructor:
         return state
 
     # ------------------------------------------------------------------
+    def _device_frontend(self, state: ReconstructionState):
+        """Device copies of (desc, kp_mask, xy), cached on the state: the
+        ~200 MB descriptor upload must not be paid once per matching call."""
+        cache = getattr(state, "_dev_frontend", None)
+        if cache is None or cache[0] is not state.desc:
+            cache = (state.desc, jnp.asarray(state.desc),
+                     jnp.asarray(state.kp_mask), jnp.asarray(state.xy))
+            state._dev_frontend = cache
+        return cache[1], cache[2], cache[3]
+
     def match_features(self, state: ReconstructionState, filter: bool = True) -> None:
         cfg = self.config
         pair_idx = pairing.exhaustive_pairs(state.num_images)
@@ -428,9 +442,7 @@ class IncrementalReconstructor:
             match_fn = (pallas_knn.match_all_pairs_fused if use_fused
                         else knn.match_all_pairs)
             B = cfg.match_chunk_pairs
-            desc_j = jnp.asarray(state.desc)
-            mask_j = jnp.asarray(state.kp_mask)
-            xy_j = jnp.asarray(state.xy)
+            desc_j, mask_j, xy_j = self._device_frontend(state)
             P = pair_idx.shape[0]
             futures = []
             for s0 in range(0, P, B):
@@ -451,13 +463,22 @@ class IncrementalReconstructor:
                         desc_j, mask_j, jnp.asarray(chunk),
                         ratio_thresh=cfg.ratio_thresh,
                         cross_check=cfg.cross_check)))
+            if filter:
+                for s0, e, (mi, cnt) in futures:
+                    mi = np.asarray(mi)
+                    cnt = np.asarray(cnt)
+                    for q in range(e - s0):
+                        if cnt[q] > 0:
+                            i, j = pair_idx[s0 + q]
+                            state.matches[(int(i), int(j))] = \
+                                mi[q].astype(np.int32)
+                return
             K = state.max_keypoints
             midx = np.full((P, K), -1, np.int32)
             mmask = np.zeros((P, K), bool)
             for s0, e, (mi, mm) in futures:
                 midx[s0:e] = np.asarray(mi)[: e - s0]
                 mmask[s0:e] = np.asarray(mm)[: e - s0]
-            filter = False      # the gate already ran on device
         midx = np.asarray(midx)
         mmask = np.asarray(mmask)
 

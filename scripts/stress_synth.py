@@ -23,6 +23,9 @@ def main():
     ap.add_argument("--points", type=int, default=2000)
     ap.add_argument("--clutter", type=int, default=128)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--local-window", type=int, default=0,
+                    help="ba_local_window (0 = global BA every view)")
+    ap.add_argument("--global-every", type=int, default=8)
     args = ap.parse_args()
 
     import jax
@@ -37,7 +40,9 @@ def main():
     print(f"device={jax.devices()[0]} views={args.views} "
           f"keypoints/view={state.max_keypoints}", file=sys.stderr, flush=True)
 
-    cfg = ReconstructorConfig(max_keypoints=state.max_keypoints, focal_px=520.0)
+    cfg = ReconstructorConfig(max_keypoints=state.max_keypoints, focal_px=520.0,
+                              ba_local_window=args.local_window,
+                              ba_global_every=args.global_every)
     rec = IncrementalReconstructor(cfg, verbose=True)
     t0 = time.time()
     state = rec.reconstruct_from_state(state)
