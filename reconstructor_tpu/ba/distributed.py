@@ -40,8 +40,9 @@ from reconstructor_tpu.ba import lm as ba_lm
 from reconstructor_tpu.parallel.sharding import AXIS
 
 
-def _build_blocks(prob: ba_lm.BAProblem, cam_params, points):
-    return ba_lm._build_blocks(prob, cam_params, points)
+def _build_blocks(prob: ba_lm.BAProblem, cam_params, points,
+                  huber_delta: float = 0.0):
+    return ba_lm._build_blocks(prob, cam_params, points, huber_delta)
 
 
 def _pcg(matvec, rhs, precond, num_iters: int, tol: float):
@@ -73,12 +74,13 @@ def _pcg(matvec, rhs, precond, num_iters: int, tol: float):
     return x
 
 
-def _build_pcg_blocks(prob: ba_lm.BAProblem, cam_params, points):
+def _build_pcg_blocks(prob: ba_lm.BAProblem, cam_params, points,
+                      huber_delta: float = 0.0):
     """Damping-independent blocks for the implicit-Schur path (built once
     per outer LM iteration; lambda retries reuse them)."""
     C = cam_params.shape[0]
     L = points.shape[0]
-    res, Jc, Jp = _build_blocks(prob, cam_params, points)
+    res, Jc, Jp = _build_blocks(prob, cam_params, points, huber_delta)
     g_c = jax.ops.segment_sum(jnp.einsum("ori,or->oi", Jc, res), prob.obs_cam, C)
     g_p = jax.ops.segment_sum(jnp.einsum("ori,or->oi", Jp, res), prob.obs_pt, L)
     H_cc = jax.ops.segment_sum(jnp.einsum("ori,orj->oij", Jc, Jc), prob.obs_cam, C)
@@ -135,19 +137,20 @@ def _lm_step_pcg(prob: ba_lm.BAProblem, blocks, lam,
     return d_cam * prob.cam_free, d_pt
 
 
-@functools.partial(jax.jit, static_argnames=("max_iters", "cg_iters", "max_retries"))
+@functools.partial(jax.jit, static_argnames=("max_iters", "cg_iters",
+                                             "max_retries", "huber_delta"))
 def solve_pcg(prob: ba_lm.BAProblem, max_iters: int = 50,
               init_lambda: float = 1e-3, lambda_up: float = 4.0,
               lambda_down: float = 2.0, ftol: float = 1e-8,
               cg_iters: int = 64, cg_tol: float = 1e-6,
               focal_upper_bound: float = 1000.0,
-              max_retries: int = 5) -> ba_lm.BAResult:
+              max_retries: int = 5, huber_delta: float = 0.0) -> ba_lm.BAResult:
     """LM with implicit-Schur PCG linear solves (mesh-shardable).
 
     Same two-level structure as ba.lm.solve: blocks once per outer
     iteration, damping retries re-run only the PCG solve.
     """
-    cost0 = ba_lm._compute_cost(prob, prob.cam_params, prob.points)
+    cost0 = ba_lm._compute_cost(prob, prob.cam_params, prob.points, huber_delta)
 
     def cond(state):
         cam, pts, lam, cost, it, done = state
@@ -155,7 +158,7 @@ def solve_pcg(prob: ba_lm.BAProblem, max_iters: int = 50,
 
     def body(state):
         cam, pts, lam, cost, it, done = state
-        blocks = _build_pcg_blocks(prob, cam, pts)
+        blocks = _build_pcg_blocks(prob, cam, pts, huber_delta)
 
         def retry_cond(s):
             tries, lam_i, accepted, *_ = s
@@ -166,7 +169,7 @@ def solve_pcg(prob: ba_lm.BAProblem, max_iters: int = 50,
             d_cam, d_pt = _lm_step_pcg(prob, blocks, lam_i, cg_iters, cg_tol)
             cam_new = (cam + d_cam).at[:, 6:8].min(focal_upper_bound)
             pts_new = pts + d_pt
-            new_cost = ba_lm._compute_cost(prob, cam_new, pts_new)
+            new_cost = ba_lm._compute_cost(prob, cam_new, pts_new, huber_delta)
             good = (new_cost < cost) & jnp.isfinite(new_cost)
             best_cam = jnp.where(good, cam_new, best_cam)
             best_pts = jnp.where(good, pts_new, best_pts)

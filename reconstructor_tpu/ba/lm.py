@@ -77,33 +77,52 @@ def _residual(cam: jnp.ndarray, pt: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray
     return jnp.stack([u - uv[0], v - uv[1]])
 
 
-def make_cam_free_mask(num_cams: int, intrinsics_free_min_cams: int = 10) -> jnp.ndarray:
-    """Reference freezing policy as a (C, 12) 0/1 mask.
+def make_cam_free_mask(num_cams: int, intrinsics_free_min_cams: int = 10):
+    """Reference freezing policy as a (C, 12) 0/1 mask (host numpy — this
+    runs once per BA call in the host loop; eager jnp here would compile
+    a fresh tiny program per camera count through the remote tunnel).
 
     - camera 0: fully constant (gauge, BundleAdjuster.cpp:100-101)
     - camera 1: translation constant (scale gauge, :104-105)
     - intrinsics: all frozen when C < 10, else only principal point frozen
       (:108-129). k1, k2 follow the focal columns' policy.
     """
-    free = jnp.ones((num_cams, 12), jnp.float32)
-    free = free.at[0, :].set(0.0)
+    import numpy as np
+    free = np.ones((num_cams, 12), np.float32)
+    free[0, :] = 0.0
     if num_cams > 1:
-        free = free.at[1, 3:6].set(0.0)
+        free[1, 3:6] = 0.0
     if num_cams < intrinsics_free_min_cams:
-        free = free.at[:, 6:12].set(0.0)
+        free[:, 6:12] = 0.0
     else:
-        free = free.at[:, 8:10].set(0.0)
+        free[:, 8:10] = 0.0
     return free
 
 
-def _compute_cost(prob: BAProblem, cam_params, points) -> jnp.ndarray:
+def _compute_cost(prob: BAProblem, cam_params, points,
+                  huber_delta: float = 0.0) -> jnp.ndarray:
+    """Total cost; with huber_delta > 0 the per-observation squared norm
+    s = |r|^2 runs through the Huber loss rho(s) = s for s <= delta^2,
+    2 delta sqrt(s) - delta^2 otherwise (Ceres HuberLoss convention) —
+    the robustification the reference lacks (its Ceres call passes a
+    nullptr loss, BundleAdjuster.cpp:95-97)."""
     res = jax.vmap(_residual)(cam_params[prob.obs_cam], points[prob.obs_pt], prob.obs_uv)
     res = res * prob.obs_mask[:, None]
-    return 0.5 * jnp.sum(res * res)
+    s = jnp.sum(res * res, axis=-1)
+    if huber_delta > 0.0:
+        d2 = huber_delta * huber_delta
+        s = jnp.where(s <= d2, s, 2.0 * huber_delta * jnp.sqrt(s + 1e-20) - d2)
+    return 0.5 * jnp.sum(s)
 
 
-def _build_blocks(prob: BAProblem, cam_params, points):
-    """Per-observation residuals and masked Jacobian blocks."""
+def _build_blocks(prob: BAProblem, cam_params, points,
+                  huber_delta: float = 0.0):
+    """Per-observation residuals and masked Jacobian blocks.
+
+    With huber_delta > 0, residuals and Jacobians are IRLS-scaled by
+    sqrt(rho'(s)) so the Gauss-Newton normal equations of the scaled
+    problem are those of the robustified cost (Triggs correction
+    omitted, as is standard practice for Huber)."""
     def rj(cam, pt, uv):
         return (jax.jacfwd(_residual, argnums=(0, 1))(cam, pt, uv),
                 _residual(cam, pt, uv))
@@ -112,17 +131,24 @@ def _build_blocks(prob: BAProblem, cam_params, points):
     Jc = Jc * m * prob.cam_free[prob.obs_cam][:, None, :]
     Jp = Jp * m
     res = res * prob.obs_mask[:, None]
+    if huber_delta > 0.0:
+        e = jnp.sqrt(jnp.sum(res * res, axis=-1, keepdims=True) + 1e-20)
+        w = jnp.sqrt(jnp.minimum(1.0, huber_delta / e))      # (O,1)
+        res = res * w
+        Jc = Jc * w[:, :, None]
+        Jp = Jp * w[:, :, None]
     return res, Jc, Jp   # (O,2), (O,2,12), (O,2,3)
 
 
-def _build_normal_blocks(prob: BAProblem, cam_params, points):
+def _build_normal_blocks(prob: BAProblem, cam_params, points,
+                         huber_delta: float = 0.0):
     """Damping-independent normal-equation pieces, built once per outer LM
     iteration (lambda retries reuse them — the expensive parts are the
     vmapped jacfwd and the dense W scatter, neither of which depends on
     the damping)."""
     C = cam_params.shape[0]
     L = points.shape[0]
-    res, Jc, Jp = _build_blocks(prob, cam_params, points)
+    res, Jc, Jp = _build_blocks(prob, cam_params, points, huber_delta)
 
     g_c = jax.ops.segment_sum(jnp.einsum("ori,or->oi", Jc, res), prob.obs_cam, C)   # (C,12)
     g_p = jax.ops.segment_sum(jnp.einsum("ori,or->oi", Jp, res), prob.obs_pt, L)    # (L,3)
@@ -171,17 +197,12 @@ def _damped_schur_solve(prob: BAProblem, blocks, lam):
     return d_cam * prob.cam_free, d_pt
 
 
-def _lm_step(prob: BAProblem, cam_params, points, lam):
-    """One damped LM solve (build + solve); kept for API compatibility."""
-    blocks = _build_normal_blocks(prob, cam_params, points)
-    return _damped_schur_solve(prob, blocks, lam)
-
-
-@functools.partial(jax.jit, static_argnames=("max_iters", "max_retries"))
+@functools.partial(jax.jit, static_argnames=("max_iters", "max_retries",
+                                             "huber_delta"))
 def solve(prob: BAProblem, max_iters: int = 50, init_lambda: float = 1e-3,
           lambda_up: float = 4.0, lambda_down: float = 2.0,
           ftol: float = 1e-8, focal_upper_bound: float = 1000.0,
-          max_retries: int = 5) -> BAResult:
+          max_retries: int = 5, huber_delta: float = 0.0) -> BAResult:
     """Run damped LM to convergence (or max_iters) fully on device.
 
     Classic two-level structure: the Jacobian/normal blocks are built once
@@ -189,7 +210,7 @@ def solve(prob: BAProblem, max_iters: int = 50, init_lambda: float = 1e-3,
     damping with only the (cheap) Schur solve + cost evaluation until a
     step is accepted.
     """
-    cost0 = _compute_cost(prob, prob.cam_params, prob.points)
+    cost0 = _compute_cost(prob, prob.cam_params, prob.points, huber_delta)
 
     def cond(state):
         cam, pts, lam, cost, it, done = state
@@ -197,7 +218,7 @@ def solve(prob: BAProblem, max_iters: int = 50, init_lambda: float = 1e-3,
 
     def body(state):
         cam, pts, lam, cost, it, done = state
-        blocks = _build_normal_blocks(prob, cam, pts)
+        blocks = _build_normal_blocks(prob, cam, pts, huber_delta)
 
         def retry_cond(s):
             tries, lam_i, accepted, *_ = s
@@ -208,7 +229,7 @@ def solve(prob: BAProblem, max_iters: int = 50, init_lambda: float = 1e-3,
             d_cam, d_pt = _damped_schur_solve(prob, blocks, lam_i)
             cam_new = (cam + d_cam).at[:, 6:8].min(focal_upper_bound)
             pts_new = pts + d_pt
-            new_cost = _compute_cost(prob, cam_new, pts_new)
+            new_cost = _compute_cost(prob, cam_new, pts_new, huber_delta)
             good = (new_cost < cost) & jnp.isfinite(new_cost)
             best_cam = jnp.where(good, cam_new, best_cam)
             best_pts = jnp.where(good, pts_new, best_pts)

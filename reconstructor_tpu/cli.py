@@ -38,7 +38,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--render", action="store_true",
                    help="render the final cloud to render.png")
     p.add_argument("--checkpoint", default=None,
-                   help="path to save/resume reconstruction state (.npz)")
+                   help="autosave path for resumable state (.npz); saved "
+                        "after every registered view")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from --checkpoint if it exists (restores "
+                        "state, config-compatible caps and the RNG stream)")
+    p.add_argument("--pair-selection", choices=["exhaustive", "retrieval"],
+                   default="exhaustive",
+                   help="pair-selection stage (retrieval = global-descriptor "
+                        "top-k pruning for large image sets)")
+    p.add_argument("--retrieval-top-k", type=int, default=10)
     p.add_argument("--eval-ate", default=None, metavar="GOLDEN_PLY",
                    help="report ATE against a golden cloud after the run")
     p.add_argument("--local-ba-window", type=int, default=0,
@@ -63,12 +72,16 @@ def main(argv=None) -> int:
         focal_px=args.focal_px, focal_length_factor=args.focal_factor,
         superpoint_weights=args.superpoint_weights,
         superglue_weights=args.superglue_weights,
+        pair_selection=args.pair_selection,
+        retrieval_top_k=args.retrieval_top_k,
         ba_local_window=args.local_ba_window,
         ba_global_every=args.global_ba_every,
         final_refinement_rounds=args.final_refinement)
     rec = IncrementalReconstructor(cfg, verbose=not args.quiet)
     state = rec.reconstruct(args.img_folder, args.out_folder,
-                            save_intermediate=args.save_intermediate)
+                            save_intermediate=args.save_intermediate,
+                            checkpoint_path=args.checkpoint,
+                            resume=args.resume)
 
     if args.save_matches:
         from reconstructor_tpu.utils import viz
@@ -79,10 +92,6 @@ def main(argv=None) -> int:
         from reconstructor_tpu.utils import viz
         viz.render_cloud(os.path.join(args.out_folder, "clouds/cloud_final.ply"),
                          os.path.join(args.out_folder, "render.png"))
-
-    if args.checkpoint:
-        from reconstructor_tpu.pipeline import checkpoint
-        checkpoint.save(args.checkpoint, state)
 
     print(f"registered {len(state.registered)}/{state.num_images} views, "
           f"{state.num_landmarks} landmarks")

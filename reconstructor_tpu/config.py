@@ -52,6 +52,13 @@ class ReconstructorConfig:
     superpoint_weights: Optional[str] = None
     superglue_weights: Optional[str] = None
 
+    # ---- pair selection (matchImages stage) ------------------------------
+    # "exhaustive" = the reference's FakeImgMatcher (all unordered pairs);
+    # "retrieval" = global-descriptor top-k pruning (the reference's FAISS
+    # TODO, README:40) — for image counts where O(N^2) matching hurts.
+    pair_selection: str = "exhaustive"
+    retrieval_top_k: int = 10
+
     # ---- matching -------------------------------------------------------
     matcher: str = "knn"             # "knn" (FLANN equivalent) | "superglue"
     ratio_thresh: float = 0.7        # Lowe ratio test
@@ -91,6 +98,11 @@ class ReconstructorConfig:
     ba_intrinsics_free_min_cams: int = 10
     ba_focal_upper_bound: float = 1000.0
     ba_solver: str = "dense_schur"   # "dense_schur" | "pcg"
+    # Huber robust loss on the BA reprojection residual (px; 0 = plain
+    # squared loss = reference parity, BundleAdjuster.cpp:95-97 passes no
+    # loss function). Robustness to the outlier tail that survives the
+    # 4 px validity gates measurably tightens the trajectory.
+    ba_huber_delta: float = 3.0
     ba_init_lambda: float = 1e-3
     ba_lambda_up: float = 4.0
     ba_lambda_down: float = 2.0
@@ -105,13 +117,12 @@ class ReconstructorConfig:
     # its (window-1) most covisible registered cameras, with fixed
     # co-observing anchors; a full global BA still runs every
     # ba_global_every registrations and in the final refinement rounds.
-    # 0 = reference behavior (global BA after every view).
-    ba_local_window: int = 0
+    # 0 = reference behavior (global BA after every view). Default is the
+    # COLMAP-style local policy: quality holds (periodic global + final
+    # refinement rounds re-anchor everything) and per-view cost stops
+    # growing with the map.
+    ba_local_window: int = 8
     ba_global_every: int = 8
-
-    # ---- capacities (fixed shapes for jit) ------------------------------
-    max_landmarks: int = 65536
-    max_observations: int = 262144
 
     # ---- parallelism -----------------------------------------------------
     mesh_axis: str = "shard"          # mesh axis name for pair/obs sharding

@@ -63,6 +63,12 @@ def match_pair(desc1: jnp.ndarray, desc2: jnp.ndarray,
     return jnp.where(ok, nn, -1).astype(jnp.int32), ok
 
 
+# jitted single-pair entry for host-loop callers (eager jnp would compile
+# op-by-op through the remote-compile tunnel at every new shape)
+match_pair_jit = jax.jit(match_pair,
+                         static_argnames=("ratio_thresh", "cross_check"))
+
+
 @functools.partial(jax.jit, static_argnames=("ratio_thresh", "cross_check"))
 def match_all_pairs(desc: jnp.ndarray, mask: jnp.ndarray,
                     pair_idx: jnp.ndarray,

@@ -49,9 +49,12 @@ def retrieval_pairs(desc: np.ndarray, mask: np.ndarray, top_k: int = 10) -> np.n
     sim = sig @ sig.T
     _np.fill_diagonal(sim, -_np.inf)
     n = sim.shape[0]
-    pairs = set()
     k = min(top_k, n - 1)
-    for i in range(n):
-        for j in _np.argpartition(-sim[i], k - 1)[:k]:
-            pairs.add((min(i, int(j)), max(i, int(j))))
-    return _np.asarray(sorted(pairs), _np.int32)
+    # vectorized per-row top-k -> unordered unique pairs
+    top = _np.argpartition(-sim, k - 1, axis=1)[:, :k]        # (N, k)
+    rows = _np.repeat(_np.arange(n), k)
+    cols = top.reshape(-1)
+    lo = _np.minimum(rows, cols)
+    hi = _np.maximum(rows, cols)
+    pairs = _np.unique(_np.stack([lo, hi], axis=1), axis=0)
+    return pairs[pairs[:, 0] != pairs[:, 1]].astype(_np.int32)

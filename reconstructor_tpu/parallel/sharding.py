@@ -118,3 +118,38 @@ def match_all_pairs_sharded(mesh: Mesh, desc: np.ndarray, mask: np.ndarray,
         out_shardings=NamedSharding(mesh, P(AXIS)))
     midx, mmask = matcher(desc_r, mask_r, pairs_s)
     return np.asarray(midx)[:P_orig], np.asarray(mmask)[:P_orig]
+
+
+def match_and_gate_sharded(mesh: Mesh, desc, kmask, xy, pair_idx, keys,
+                           ratio_thresh: float, cross_check: bool,
+                           use_fused: bool, num_hypotheses: int,
+                           thresh_px: float, min_matches: int):
+    """Fused kNN + epipolar-gate program with the pair axis sharded.
+
+    Both halves of matching shard together — the descriptor top-2 AND
+    the per-pair fundamental-RANSAC gate (the gate is roughly half the
+    matching cost; sharding only the kNN would serialize it). Each chip
+    runs ``matching.gated.match_and_gate`` on its pair slice via
+    ``shard_map``; descriptors/coords are replicated (they are the small
+    operand), results gather back sharded.
+
+    desc (N, K, D), kmask (N, K), xy (N, K, 2) replicated;
+    pair_idx (B, 2) and keys (B, 2) sharded on the leading axis
+    (B must be a multiple of the mesh size — pad the chunk).
+    Returns (match_idx (B, K) int16, inlier counts (B,) int32) on device.
+    """
+    from jax import shard_map
+    from reconstructor_tpu.matching import gated
+
+    body = functools.partial(
+        gated.match_and_gate, ratio_thresh=ratio_thresh,
+        cross_check=cross_check, use_fused=use_fused,
+        num_hypotheses=num_hypotheses, thresh_px=thresh_px,
+        min_matches=min_matches)
+    fn = shard_map(
+        lambda k, d, m, x, p: body(k, d, m, x, p),
+        mesh=mesh,
+        in_specs=(P(AXIS), P(), P(), P(), P(AXIS)),
+        out_specs=(P(AXIS), P(AXIS)),
+        check_vma=False)
+    return jax.jit(fn)(keys, desc, kmask, xy, pair_idx)

@@ -10,6 +10,9 @@ when iterating on BA settings, or recover an interrupted run).
 
 from __future__ import annotations
 
+import json
+from typing import Optional, Tuple
+
 import numpy as np
 
 from reconstructor_tpu.pipeline.state import ReconstructionState
@@ -19,7 +22,15 @@ _FIELDS = ["xy", "desc", "kp_mask", "kp_score", "colors", "shapes",
            "lm_obs_feat", "lm_obs_mask", "lm_initial"]
 
 
-def save(path: str, state: ReconstructionState) -> None:
+def save(path: str, state: ReconstructionState,
+         config=None, rng_key=None, caps: Optional[dict] = None) -> None:
+    """Write the full resumable state to one compressed npz.
+
+    ``config`` (a ReconstructorConfig), ``rng_key`` (the driver's current
+    PRNG key) and ``caps`` (sticky shape caps) make a resumed run
+    reproduce the interrupted one exactly: same thresholds, same RANSAC
+    key stream, same compiled program shapes.
+    """
     data = {f: getattr(state, f) for f in _FIELDS if getattr(state, f) is not None}
     data["num_images"] = np.asarray(state.num_images)
     data["max_keypoints"] = np.asarray(state.max_keypoints)
@@ -33,7 +44,39 @@ def save(path: str, state: ReconstructionState) -> None:
     data["match_vals"] = np.stack([state.matches[(int(i), int(j))]
                                    for i, j in match_keys]) \
         if match_keys.size else np.zeros((0, state.max_keypoints), np.int32)
-    np.savez_compressed(path, **data)
+    meta = {}
+    if config is not None:
+        meta["config"] = {k: v for k, v in vars(config).items()
+                          if isinstance(v, (int, float, str, bool, type(None)))}
+    if caps:
+        meta["caps"] = dict(caps)
+    if meta:
+        data["meta_json"] = np.frombuffer(
+            json.dumps(meta).encode(), dtype=np.uint8)
+    if rng_key is not None:
+        import jax
+        data["rng_key"] = np.asarray(jax.random.key_data(rng_key))
+    tmp = path + ".tmp.npz"
+    np.savez_compressed(tmp, **data)
+    import os
+    os.replace(tmp, path)
+
+
+def load_meta(path: str) -> dict:
+    """Read back the config/caps metadata saved alongside the state."""
+    z = np.load(path, allow_pickle=False)
+    if "meta_json" not in z:
+        return {}
+    return json.loads(bytes(z["meta_json"].tobytes()).decode())
+
+
+def load_rng_key(path: str):
+    """Restore the driver PRNG key, or None if absent."""
+    z = np.load(path, allow_pickle=False)
+    if "rng_key" not in z:
+        return None
+    import jax
+    return jax.random.wrap_key_data(z["rng_key"])
 
 
 def load(path: str) -> ReconstructionState:

@@ -41,7 +41,7 @@ import numpy as np
 from reconstructor_tpu.config import ReconstructorConfig
 from reconstructor_tpu.features import sift
 from reconstructor_tpu.geometry import camera as cam
-from reconstructor_tpu.geometry import epipolar, pnp, se3, triangulation
+from reconstructor_tpu.geometry import epipolar, np_ops, pnp, se3, triangulation
 from reconstructor_tpu.io import images as io_images
 from reconstructor_tpu.io import ply
 from reconstructor_tpu.matching import knn, pairs as pairing
@@ -76,67 +76,10 @@ def _round_up(n: int, m: int) -> int:
 # jitted stage kernels
 # ----------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("num_hypotheses", "thresh_px"))
-def _filter_chunk(keys, pts1, pts2, mask, num_hypotheses: int, thresh_px: float):
-    """Vmapped fundamental-RANSAC gate over a chunk of pairs.
-
-    pts1/pts2: (B, K, 2); mask: (B, K). Returns inlier masks (B, K).
-
-    Model selection runs on a strided quarter-subsample of the match
-    slots (the (H, N) Sampson sweep is the F-gate's dominant cost and
-    its inlier-ratio ranking is just as sharp on 1k points); the winning
-    F then classifies every match once.
-    """
-    K = pts1.shape[1]
-    stride = 4 if K >= 1024 else 1
-
-    def one(key, p1, p2, m):
-        F, _, _ = epipolar.estimate_fundamental(
-            key, p1[::stride], p2[::stride], m[::stride],
-            thresh_px=thresh_px, num_hypotheses=num_hypotheses)
-        d = epipolar.sampson_distance(F, p1, p2)
-        return (d < thresh_px * thresh_px) & m
-    return jax.vmap(one)(keys, pts1, pts2, mask)
-
-
-@functools.partial(jax.jit, static_argnames=(
-    "ratio_thresh", "cross_check", "use_fused", "num_hypotheses",
-    "thresh_px", "min_matches"))
-def _match_filter_chunk(keys, desc, kmask, xy, pair_chunk,
-                        ratio_thresh: float, cross_check: bool,
-                        use_fused: bool, num_hypotheses: int,
-                        thresh_px: float, min_matches: int):
-    """kNN matching + epipolar gate for one pair chunk in ONE device
-    program: the matched-coordinate gather happens on device, so the raw
-    match table never round-trips to the host between the stages (the
-    host-side (P, K, 2) gather and its transfers dominated the matching
-    wall-clock before this fusion).
-
-    Returns (match_idx (B, K) int32, final mask (B, K) bool).
-    """
-    from reconstructor_tpu.matching import pallas_knn
-    if use_fused:
-        midx, mmask = pallas_knn.match_all_pairs_fused(
-            desc, kmask, pair_chunk, ratio_thresh=ratio_thresh,
-            cross_check=cross_check)
-    else:
-        midx, mmask = knn.match_all_pairs(
-            desc, kmask, pair_chunk, ratio_thresh=ratio_thresh,
-            cross_check=cross_check)
-    K = desc.shape[1]
-    p1 = xy[pair_chunk[:, 0]]                                    # (B, K, 2)
-    p2 = xy[pair_chunk[:, 1][:, None], jnp.clip(midx, 0, K - 1)]  # (B, K, 2)
-    inl = _filter_chunk(keys, p1, p2, mmask,
-                        num_hypotheses=num_hypotheses, thresh_px=thresh_px)
-    # need >= 7 matches for F estimation; keep raw matches otherwise
-    # (SequentialReconstructor.cpp:237)
-    counts = jnp.sum(mmask, axis=1)
-    out = jnp.where((counts >= min_matches)[:, None], inl & mmask, mmask)
-    # fold the mask on device and ship int16 ids: halves the device->host
-    # result traffic (K <= 32k always) and removes the host-side
-    # per-pair np.where sweep from the hot loop
-    midx16 = jnp.where(out, midx, -1).astype(jnp.int16)
-    return midx16, jnp.sum(out, axis=1)
+from reconstructor_tpu.matching.gated import (  # noqa: E402
+    filter_pairs_jit as _filter_chunk,
+    match_and_gate_jit as _match_filter_chunk,
+)
 
 
 @functools.partial(jax.jit, static_argnames=("num_hypotheses", "thresh_px"))
@@ -212,6 +155,18 @@ class IncrementalReconstructor:
         self.mesh = mesh
         self.timer = TimeLogger()
         self._key = jax.random.PRNGKey(0)
+        # Sticky shape caps: on this backend every distinct padded shape
+        # is a fresh remote compile costing tens of seconds
+        # (ENVIRONMENT_NOTES.md #3), so each program's pad grows
+        # monotonically and is sized once from the dataset where possible.
+        self._caps: Dict[str, int] = {}
+
+    def _sticky_cap(self, name: str, need: int, lo: int = 1024) -> int:
+        cap = self._caps.get(name, 0)
+        if need > cap:
+            cap = _bucket(need, lo=max(lo, cap * 4))
+            self._caps[name] = cap
+        return cap
 
     def _log(self, *args):
         if self.verbose:
@@ -223,42 +178,81 @@ class IncrementalReconstructor:
 
     # ------------------------------------------------------------------
     def reconstruct(self, img_folder: str, out_folder: Optional[str] = None,
-                    save_intermediate: bool = False) -> ReconstructionState:
-        with self.timer.event("feature extraction"):
-            state = self.detect_features(img_folder)
-        return self.reconstruct_from_state(state, out_folder, save_intermediate)
+                    save_intermediate: bool = False,
+                    checkpoint_path: Optional[str] = None,
+                    resume: bool = False) -> ReconstructionState:
+        if resume and checkpoint_path and os.path.exists(checkpoint_path):
+            from reconstructor_tpu.pipeline import checkpoint
+            state = checkpoint.load(checkpoint_path)
+            key = checkpoint.load_rng_key(checkpoint_path)
+            if key is not None:
+                self._key = key
+            caps = checkpoint.load_meta(checkpoint_path).get("caps")
+            if caps:
+                self._caps.update(caps)
+            self._log(f"resumed from {checkpoint_path}: "
+                      f"{len(state.registered)} views registered")
+        else:
+            with self.timer.event("feature extraction"):
+                state = self.detect_features(img_folder)
+        return self.reconstruct_from_state(state, out_folder, save_intermediate,
+                                           checkpoint_path=checkpoint_path)
+
+    def _autosave(self, state: ReconstructionState,
+                  checkpoint_path: Optional[str]) -> None:
+        if checkpoint_path:
+            from reconstructor_tpu.pipeline import checkpoint
+            checkpoint.save(checkpoint_path, state, config=self.config,
+                            rng_key=self._key, caps=self._caps)
 
     def reconstruct_from_state(self, state: ReconstructionState,
                                out_folder: Optional[str] = None,
-                               save_intermediate: bool = False) -> ReconstructionState:
+                               save_intermediate: bool = False,
+                               checkpoint_path: Optional[str] = None) -> ReconstructionState:
         """Run the full pipeline from a prepared feature state.
 
         Public entry for custom frontends (injected features/descriptors)
         and synthetic-scene evaluation — everything after detection:
         matching, initialization, the incremental register/BA loop, and
-        output artifacts.
+        output artifacts. A partially-registered state (from a resumed
+        checkpoint) continues where it stopped; with ``checkpoint_path``
+        the state autosaves after every registered view.
         """
+        resuming = bool(state.registered)
+        if out_folder and not resuming:
+            # clear previous run artifacts (deleteDirectoryContents parity,
+            # SequentialReconstructor.cpp:984-985) — only dirs we own
+            import shutil
+            for sub in ("clouds", "matches"):
+                d = os.path.join(out_folder, sub)
+                if os.path.isdir(d):
+                    shutil.rmtree(d)
         if out_folder:
             os.makedirs(os.path.join(out_folder, "clouds"), exist_ok=True)
 
-        with self.timer.event("feature matching"):
-            self.match_features(state)
-        with self.timer.event("initial pair and pose estimation"):
-            i1, i2, rel_pose = self.choose_initial_pair(state)
-        state.poses[i1] = np.eye(4, dtype=np.float32)
-        state.poses[i2] = rel_pose
-        state.registered = [i1, i2]
-        self._log(f"initial pair: {i1}, {i2}")
+        if not state.matches:
+            with self.timer.event("feature matching"):
+                self.match_features(state)
+        self._presize_caps(state)
+        if not state.registered:
+            with self.timer.event("initial pair and pose estimation"):
+                i1, i2, rel_pose = self.choose_initial_pair(state)
+            state.poses[i1] = np.eye(4, dtype=np.float32)
+            state.poses[i2] = rel_pose
+            state.registered = [i1, i2]
+            self._log(f"initial pair: {i1}, {i2}")
 
-        with self.timer.event("initial pair features triangulation"):
-            self.triangulate_initial_pair(state, i1, i2)
-        self._log(f"landmarks initial size: {state.num_landmarks}")
+            with self.timer.event("initial pair features triangulation"):
+                self.triangulate_initial_pair(state, i1, i2)
+            self._log(f"landmarks initial size: {state.num_landmarks}")
+            self._autosave(state, checkpoint_path)
 
-        if out_folder and save_intermediate:
+        if out_folder and save_intermediate and not resuming:
             self._save(state, os.path.join(out_folder, "clouds/cloud_initial.ply"))
 
         retried = False
-        for it in range(state.num_images - 2):
+        for it in range(len(state.registered) - 2,
+                        max(state.num_images - 2, len(state.registered) - 2)):
             with self.timer.event("adding new view"):
                 added = self.add_next_view(state)
             if added is None:
@@ -295,6 +289,7 @@ class IncrementalReconstructor:
                 if out_folder and save_intermediate:
                     self._save(state, os.path.join(out_folder, f"clouds/cloud_after_{it}.ply"))
             self._log(f"registered img {added} | landmarks: {state.num_landmarks}")
+            self._autosave(state, checkpoint_path)
 
         for r in range(self.config.final_refinement_rounds):
             with self.timer.event("final refinement"):
@@ -305,6 +300,7 @@ class IncrementalReconstructor:
                 self.complete_tracks(state)
             self._log(f"final refinement {r + 1}: {state.num_landmarks} landmarks")
 
+        self._autosave(state, checkpoint_path)
         if out_folder:
             self._save(state, os.path.join(out_folder, "clouds/cloud_final.ply"))
             self._write_report(state, out_folder)
@@ -418,12 +414,26 @@ class IncrementalReconstructor:
             state._dev_frontend = cache
         return cache[1], cache[2], cache[3]
 
+    def select_pairs(self, state: ReconstructionState) -> np.ndarray:
+        """Pair-selection stage (matchImages parity,
+        SequentialReconstructor.cpp:1002 / ImageMatcher.cpp:6-24).
+
+        ``exhaustive`` is the reference's FakeImgMatcher (all unordered
+        pairs); ``retrieval`` prunes to each image's top-k most similar
+        partners by global-descriptor affinity — the reference README's
+        declared FAISS TODO (README:40)."""
+        cfg = self.config
+        if cfg.pair_selection == "retrieval":
+            return pairing.retrieval_pairs(state.desc, state.kp_mask,
+                                           top_k=cfg.retrieval_top_k)
+        return pairing.exhaustive_pairs(state.num_images)
+
     def match_features(self, state: ReconstructionState, filter: bool = True) -> None:
         cfg = self.config
-        pair_idx = pairing.exhaustive_pairs(state.num_images)
+        pair_idx = self.select_pairs(state)
         if cfg.matcher == "superglue":
             midx, mmask = self._match_superglue(state, pair_idx)
-        elif self.mesh is not None:
+        elif self.mesh is not None and not filter:
             from reconstructor_tpu.parallel import sharding
             midx, mmask = sharding.match_all_pairs_sharded(
                 self.mesh, state.desc, state.kp_mask, pair_idx,
@@ -433,15 +443,22 @@ class IncrementalReconstructor:
             # in HBM (300 x 4096^2 f32 would be 20 GB). On TPU the fused
             # Pallas kernel keeps the distance tile in VMEM entirely.
             # Matching and the epipolar gate run as ONE program per chunk
-            # (filter=True), all chunks dispatched asynchronously.
+            # (filter=True) — sharded over the mesh when one is set (both
+            # halves of the work shard: kNN and the F-gate) — with all
+            # chunks dispatched asynchronously.
             from reconstructor_tpu.matching import pallas_knn
-            use_fused = (cfg.knn_use_pallas
-                         and jax.devices()[0].platform not in ("cpu",)
+            platform = (self.mesh.devices.flat[0].platform
+                        if self.mesh is not None
+                        else jax.devices()[0].platform)
+            use_fused = (cfg.knn_use_pallas and platform not in ("cpu",)
                          and pallas_knn.supported(state.desc.shape[1],
                                                   state.desc.shape[2]))
             match_fn = (pallas_knn.match_all_pairs_fused if use_fused
                         else knn.match_all_pairs)
             B = cfg.match_chunk_pairs
+            if self.mesh is not None:
+                n_dev = int(self.mesh.devices.size)
+                B = _round_up(B, n_dev)
             desc_j, mask_j, xy_j = self._device_frontend(state)
             P = pair_idx.shape[0]
             futures = []
@@ -451,13 +468,25 @@ class IncrementalReconstructor:
                 chunk[: e - s0] = pair_idx[s0:e]
                 if filter:
                     keys = jax.random.split(self._next_key(), B)
-                    futures.append((s0, e, _match_filter_chunk(
-                        keys, desc_j, mask_j, xy_j, jnp.asarray(chunk),
-                        ratio_thresh=cfg.ratio_thresh,
-                        cross_check=cfg.cross_check, use_fused=use_fused,
-                        num_hypotheses=cfg.fundamental_num_hypotheses,
-                        thresh_px=cfg.fundamental_thresh_px,
-                        min_matches=cfg.min_matches_for_filter)))
+                    if self.mesh is not None:
+                        from reconstructor_tpu.parallel import sharding
+                        fut = sharding.match_and_gate_sharded(
+                            self.mesh, desc_j, mask_j, xy_j,
+                            jnp.asarray(chunk), keys,
+                            ratio_thresh=cfg.ratio_thresh,
+                            cross_check=cfg.cross_check, use_fused=use_fused,
+                            num_hypotheses=cfg.fundamental_num_hypotheses,
+                            thresh_px=cfg.fundamental_thresh_px,
+                            min_matches=cfg.min_matches_for_filter)
+                    else:
+                        fut = _match_filter_chunk(
+                            keys, desc_j, mask_j, xy_j, jnp.asarray(chunk),
+                            ratio_thresh=cfg.ratio_thresh,
+                            cross_check=cfg.cross_check, use_fused=use_fused,
+                            num_hypotheses=cfg.fundamental_num_hypotheses,
+                            thresh_px=cfg.fundamental_thresh_px,
+                            min_matches=cfg.min_matches_for_filter)
+                    futures.append((s0, e, fut))
                 else:
                     futures.append((s0, e, match_fn(
                         desc_j, mask_j, jnp.asarray(chunk),
@@ -572,11 +601,32 @@ class IncrementalReconstructor:
                     out[p] = inl[bi] & mmask[p]
         return out
 
+    def _presize_caps(self, state: ReconstructionState) -> None:
+        """Pre-size the sticky shape caps from match statistics, so the
+        landmark/observation programs compile once instead of re-compiling
+        at every growth tier. Every observation is a distinct matched
+        (img, feat), so the count of features participating in any match
+        upper-bounds the observation table (rescue-path attachments can
+        exceed it; the sticky caps then grow once)."""
+        if "ba_O" in self._caps or not state.matches:
+            return
+        matched = np.zeros((state.num_images, state.max_keypoints), bool)
+        for (i, j), m in state.matches.items():
+            src = m >= 0
+            matched[i] |= src
+            matched[j][m[src]] = True
+        obs_est = max(int(matched.sum()), 1)
+        lm_est = max(obs_est // 3, 1)
+        self._caps["ba_O"] = _bucket(obs_est, lo=4096)
+        for name in ("ba_L", "check_L", "rescue_L"):
+            self._caps[name] = _bucket(lm_est, lo=2048)
+
     # ------------------------------------------------------------------
     def choose_initial_pair(self, state: ReconstructionState) -> Tuple[int, int, np.ndarray]:
         """Highest-match-count pair -> essential -> cheirality pose
         (chooseInitialPair parity, SequentialReconstructor.cpp:325-375)."""
         cfg = self.config
+        self._presize_caps(state)
         best = max(state.matches.items(), key=lambda kv: (kv[1] >= 0).sum())
         (i1, i2), m = best
         sel = np.where(m >= 0)[0]
@@ -604,7 +654,10 @@ class IncrementalReconstructor:
         (n, V) observation tables. Returns (xyz, valid)."""
         cfg = self.config
         n, V = obs_img.shape
-        n_pad = _bucket(n)
+        # n <= max_keypoints at every call site (initial-pair matches and
+        # per-view free features are both per-image feature subsets), so
+        # one fixed pad => one compiled program for the whole run.
+        n_pad = _round_up(max(state.max_keypoints, n), 256)
         oi = np.zeros((n_pad, V), np.int32)
         of = np.zeros((n_pad, V), np.int32)
         om = np.zeros((n_pad, V), bool)
@@ -707,7 +760,7 @@ class IncrementalReconstructor:
         SequentialReconstructor.cpp:559-638). Returns (pose, inlier sel)."""
         cfg = self.config
         n = lm_ids.size
-        cap = _bucket(n, lo=1024)
+        cap = self._sticky_cap("pnp", max(n, state.max_keypoints), lo=1024)
         pts3d = np.zeros((cap, 3), np.float32)
         uv = np.zeros((cap, 2), np.float32)
         mask = np.zeros(cap, bool)
@@ -738,12 +791,12 @@ class IncrementalReconstructor:
             pts = state.lm_xyz[lm_ids]
             local = pts @ pose[:3, :3].T + pose[:3, 3]
             uv = state.xy[img, feat_ids]
-            err = np.asarray(cam.reprojection_error_l1(
-                jnp.asarray(intr), jnp.asarray(local), jnp.asarray(uv)))
+            err = np_ops.reprojection_error_l1(intr, local, uv)
             ok = (local[:, 2] > 0) & (err < cfg.max_projection_error) \
                 & (state.feat2lm[img, feat_ids] == -1)
-            for lm_id, f in zip(lm_ids[ok], feat_ids[ok]):
-                state.add_observation(int(lm_id), img, int(f))
+            state.add_observations(lm_ids[ok],
+                                   np.full(int(ok.sum()), img, np.int32),
+                                   feat_ids[ok])
 
         # 2. unassigned features: multi-view triangulation against ALL
         #    registered partners whose matched features are also
@@ -801,14 +854,11 @@ class IncrementalReconstructor:
             pts = state.lm_xyz[lm_ids]
             local = pts @ pose[:3, :3].T + pose[:3, 3]
             uv = state.xy[r, feat_ids]
-            err = np.asarray(cam.reprojection_error_l1(
-                jnp.asarray(state.intrinsics[r]), jnp.asarray(local),
-                jnp.asarray(uv)))
+            err = np_ops.reprojection_error_l1(state.intrinsics[r], local, uv)
             ok = (local[:, 2] > 0) & (err < cfg.max_projection_error) \
                 & (state.feat2lm[r, feat_ids] == -1)
-            for lm_id, f in zip(lm_ids[ok], feat_ids[ok]):
-                if state.add_observation(int(lm_id), r, int(f)):
-                    added += 1
+            added += state.add_observations(
+                lm_ids[ok], np.full(int(ok.sum()), r, np.int32), feat_ids[ok])
         return added
 
     def match_features_to_landmarks(self, state: ReconstructionState,
@@ -827,12 +877,12 @@ class IncrementalReconstructor:
         lm_obs0_feat = state.lm_obs_feat[:, 0]
         lm_desc = state.desc[lm_obs0_img, lm_obs0_feat]        # (L, D)
         L = lm_desc.shape[0]
-        L_pad = _bucket(max(L, 1), lo=2048)
+        L_pad = self._sticky_cap("rescue_L", max(L, 1), lo=2048)
         lm_desc_p = np.zeros((L_pad, lm_desc.shape[1]), np.float32)
         lm_desc_p[:L] = lm_desc
         lm_mask = np.zeros(L_pad, bool)
         lm_mask[:L] = state.lm_obs_mask[:, 0]
-        midx, mmask = knn.match_pair(
+        midx, mmask = knn.match_pair_jit(
             jnp.asarray(state.desc[img]), jnp.asarray(lm_desc_p),
             jnp.asarray(state.kp_mask[img]), jnp.asarray(lm_mask),
             ratio_thresh=0.9, cross_check=True)
@@ -890,7 +940,7 @@ class IncrementalReconstructor:
         L = state.num_landmarks
         if L == 0:
             return np.zeros(0, bool)
-        L_pad = _bucket(L, lo=2048)
+        L_pad = self._sticky_cap("check_L", L, lo=2048)
         V = MAX_VIEWS_PER_LANDMARK
         xyz = np.zeros((L_pad, 3), np.float32)
         oi = np.zeros((L_pad, V), np.int32)
@@ -970,20 +1020,22 @@ class IncrementalReconstructor:
             points_src = state.lm_xyz[lm_sel]
 
         C = len(order)
-        C_pad = _round_up(C, 16)
+        # one C tier for the whole run (local and global BA share it):
+        # every registered camera can participate in a local problem via
+        # its anchors, so padding to the dataset size costs nothing extra
+        C_pad = _round_up(state.num_images, 16)
         g2l = {g: l for l, g in enumerate(order)}
 
+        order_arr = np.asarray(order, np.int64)
+        poses_arr = np.stack([state.poses[g] for g in order])
         cam_params = np.zeros((C_pad, 12), np.float32)
-        for g, l in g2l.items():
-            T = state.poses[g]
-            aa = np.asarray(se3.rotation_to_angle_axis(jnp.asarray(T[:3, :3])))
-            cam_params[l, :3] = aa
-            cam_params[l, 3:6] = T[:3, 3]
-            cam_params[l, 6:] = state.intrinsics[g]
+        cam_params[:C, :3] = np_ops.rotation_to_angle_axis(poses_arr[:, :3, :3])
+        cam_params[:C, 3:6] = poses_arr[:, :3, 3]
+        cam_params[:C, 6:] = state.intrinsics[order_arr]
 
         O = obs_lm.size
-        O_pad = _bucket(max(O, 1), lo=4096)
-        L_pad = _bucket(max(L, 1), lo=2048)
+        O_pad = self._sticky_cap("ba_O", max(O, 1), lo=4096)
+        L_pad = self._sticky_cap("ba_L", max(L, 1), lo=2048)
 
         obs_cam_l = np.zeros(O_pad, np.int32)
         obs_pt = np.zeros(O_pad, np.int32)
@@ -1030,7 +1082,8 @@ class IncrementalReconstructor:
                       lambda_up=cfg.ba_lambda_up,
                       lambda_down=cfg.ba_lambda_down,
                       ftol=cfg.ba_ftol,
-                      focal_upper_bound=cfg.ba_focal_upper_bound)
+                      focal_upper_bound=cfg.ba_focal_upper_bound,
+                      huber_delta=cfg.ba_huber_delta)
         if self.mesh is not None:
             from reconstructor_tpu.ba import distributed
             result = distributed.solve_distributed(self.mesh, prob, **common)
@@ -1043,17 +1096,17 @@ class IncrementalReconstructor:
                   f"{float(result.cost_final):.1f} in {int(result.iterations)} iters")
 
         new_cams = np.asarray(result.cam_params)
+        R_all = np_ops.angle_axis_to_rotation(new_cams[:C, :3])
         for g, l in g2l.items():
             if local_cams is not None and g not in local_set:
                 continue  # fixed anchor — unchanged by construction
-            R = np.asarray(se3.angle_axis_to_rotation(jnp.asarray(new_cams[l, :3])))
             T = np.eye(4, dtype=np.float32)
-            T[:3, :3] = R
+            T[:3, :3] = R_all[l]
             T[:3, 3] = new_cams[l, 3:6]
             state.poses[g] = T
             state.intrinsics[g] = new_cams[l, 6:]
         if lm_sel is None:
-            state.lm_xyz = np.asarray(result.points)[:L]
+            state.lm_xyz[:] = np.asarray(result.points)[:L]
         else:
             state.lm_xyz[lm_sel] = np.asarray(result.points)[:L]
 

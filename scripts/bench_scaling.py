@@ -1,12 +1,21 @@
 """Sharded-matching + distributed-BA scaling benchmark on a virtual mesh.
 
-Measures pairs/s and BA solve time at 1/2/4/8 mesh shards using CPU
-virtual devices (xla_force_host_platform_device_count), reporting scaling
-efficiency. On real multi-chip hardware the same code paths shard over
-ICI; run there unchanged for hardware numbers (BASELINE config 4/5:
->=80% efficiency at 2 hosts is the target for the collectives design).
+Measures pairs/s — raw kNN AND the full fused match+epipolar-gate
+program — plus distributed-BA solve time at 1/2/4/8 mesh shards using
+CPU virtual devices (xla_force_host_platform_device_count), reporting
+scaling efficiency. On real multi-chip hardware the same code paths
+shard over ICI; run there unchanged for hardware numbers (BASELINE
+config 4/5: >=80% efficiency at 2 hosts is the target for the
+collectives design).
+
+Efficiency on a virtual CPU mesh is a *lower bound* on real-hardware
+efficiency for this workload: the virtual devices time-share one host's
+cores, so any super-linear artifacts are impossible, while the
+communication pattern (replicated descriptors, sharded pair axis, psum
+reductions in BA) is identical.
 
 Usage:  python scripts/bench_scaling.py [num_images] [keypoints]
+Writes SCALING.md at the repo root with the efficiency table.
 """
 
 import json
@@ -18,7 +27,8 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
-sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+sys.path.insert(0, ROOT)
 
 import jax  # noqa: E402
 
@@ -31,46 +41,73 @@ def main():
     n_imgs = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     K = int(sys.argv[2]) if len(sys.argv) > 2 else 512
 
+    import jax.numpy as jnp
     from reconstructor_tpu.parallel import sharding
     from reconstructor_tpu.matching import pairs as pairing
-    from reconstructor_tpu.ba import lm as ba_lm, distributed
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+    from reconstructor_tpu.ba import distributed
+    sys.path.insert(0, os.path.join(ROOT, "tests"))
 
     rng = np.random.default_rng(0)
     desc = rng.standard_normal((n_imgs, K, 128)).astype(np.float32)
     desc /= np.linalg.norm(desc, axis=-1, keepdims=True)
     mask = np.ones((n_imgs, K), bool)
+    xy = rng.uniform(0, 512, (n_imgs, K, 2)).astype(np.float32)
     pair_idx = pairing.exhaustive_pairs(n_imgs)
     n_pairs = pair_idx.shape[0]
+    B = ((n_pairs + 7) // 8) * 8
+    chunk = np.zeros((B, 2), np.int32)
+    chunk[:n_pairs] = pair_idx
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    gate_kw = dict(ratio_thresh=0.7, cross_check=True, use_fused=False,
+                   num_hypotheses=128, thresh_px=3.0, min_matches=7)
 
     results = {"num_images": n_imgs, "keypoints": K, "pairs": int(n_pairs)}
-    base = None
+
+    base_raw = base_gated = None
     for n_dev in (1, 2, 4, 8):
         mesh = sharding.make_mesh(n_dev)
-        # warm
+
+        # raw kNN (pair axis sharded)
         sharding.match_all_pairs_sharded(mesh, desc, mask, pair_idx)
         t0 = time.time()
         for _ in range(3):
             sharding.match_all_pairs_sharded(mesh, desc, mask, pair_idx)
-        dt = (time.time() - t0) / 3
-        pps = n_pairs / dt
-        if base is None:
-            base = pps
-        results[f"match_pairs_per_s_{n_dev}dev"] = round(pps, 1)
-        results[f"match_efficiency_{n_dev}dev"] = round(pps / (base * n_dev), 3)
+        pps = n_pairs / ((time.time() - t0) / 3)
+        if base_raw is None:
+            base_raw = pps
+        results[f"knn_pairs_per_s_{n_dev}dev"] = round(pps, 1)
+        results[f"knn_efficiency_{n_dev}dev"] = round(pps / (base_raw * n_dev), 3)
 
-    # distributed BA scaling
+        # fused match + epipolar gate (BOTH halves sharded)
+        args = (jnp.asarray(desc), jnp.asarray(mask), jnp.asarray(xy),
+                jnp.asarray(chunk), keys)
+        out = sharding.match_and_gate_sharded(mesh, *args, **gate_kw)
+        np.asarray(out[0])
+        t0 = time.time()
+        for _ in range(3):
+            out = sharding.match_and_gate_sharded(mesh, *args, **gate_kw)
+            np.asarray(out[0])
+        pps = n_pairs / ((time.time() - t0) / 3)
+        if base_gated is None:
+            base_gated = pps
+        results[f"gated_pairs_per_s_{n_dev}dev"] = round(pps, 1)
+        results[f"gated_efficiency_{n_dev}dev"] = round(
+            pps / (base_gated * n_dev), 3)
+
+    # distributed BA scaling (realistic problem: 25 cams / 5k pts)
     from test_ba import make_ba_problem  # noqa: E402
-    prob, _, _ = make_ba_problem(np.random.default_rng(1), n_cams=8, n_pts=2000)
+    prob, _, _ = make_ba_problem(np.random.default_rng(1), n_cams=25, n_pts=5000)
     O = int(prob.obs_uv.shape[0])
     O_pad = ((O + 7) // 8) * 8
     pad = O_pad - O
-    import jax.numpy as jnp
     prob = prob._replace(
         obs_cam=jnp.pad(prob.obs_cam, (0, pad)),
         obs_pt=jnp.pad(prob.obs_pt, (0, pad)),
         obs_uv=jnp.pad(prob.obs_uv, ((0, pad), (0, 0))),
         obs_mask=jnp.pad(prob.obs_mask, (0, pad)))
+    results["ba_cams"] = 25
+    results["ba_points"] = 5000
+    results["ba_obs"] = O
     base = None
     for n_dev in (1, 2, 4, 8):
         mesh = sharding.make_mesh(n_dev)
@@ -84,9 +121,38 @@ def main():
             base = dt
         results[f"ba_solve_s_{n_dev}dev"] = round(dt, 3)
         results[f"ba_speedup_{n_dev}dev"] = round(base / dt, 2)
+        results[f"ba_efficiency_{n_dev}dev"] = round(base / dt / n_dev, 3)
 
     print(json.dumps(results, indent=2))
 
+    with open(os.path.join(ROOT, "SCALING.md"), "w") as f:
+        f.write("# Scaling measurements (8-way virtual CPU mesh)\n\n")
+        f.write(f"Generated by `scripts/bench_scaling.py {n_imgs} {K}`. "
+                "Virtual devices time-share one host CPU, so efficiency "
+                "here lower-bounds real-chip efficiency (identical "
+                "communication pattern, no real parallel silicon).\n\n")
+        f.write(f"Workload: {n_imgs} images x {K} keypoints "
+                f"({n_pairs} pairs); BA {results['ba_cams']} cams / "
+                f"{results['ba_points']} pts / {O} obs.\n\n")
+        f.write("| shards | raw kNN pairs/s | eff | match+gate pairs/s | eff"
+                " | BA solve s | speedup | eff |\n")
+        f.write("|---|---|---|---|---|---|---|---|\n")
+        for n in (1, 2, 4, 8):
+            f.write(f"| {n} | {results[f'knn_pairs_per_s_{n}dev']} | "
+                    f"{results[f'knn_efficiency_{n}dev']} | "
+                    f"{results[f'gated_pairs_per_s_{n}dev']} | "
+                    f"{results[f'gated_efficiency_{n}dev']} | "
+                    f"{results[f'ba_solve_s_{n}dev']} | "
+                    f"{results[f'ba_speedup_{n}dev']} | "
+                    f"{results[f'ba_efficiency_{n}dev']} |\n")
+        f.write("\nCaveat: single-host CPU time-sharing; the >1-shard rows "
+                "measure partitioning + collective overhead, not parallel "
+                "speedup. Real-chip numbers require pod hardware "
+                "(ROADMAP).\n")
+    json.dump(results, open(os.path.join(ROOT, "out", "scaling.json"), "w"),
+              indent=2)
+
 
 if __name__ == "__main__":
+    os.makedirs(os.path.join(ROOT, "out"), exist_ok=True)
     main()

@@ -91,3 +91,34 @@ class TestMeshPipeline:
         state = rec.reconstruct(str(d))
         assert len(state.registered) >= 2
         assert state.num_landmarks > 10
+
+
+class TestShardedMatchAndGate:
+    def test_equals_single_device(self, mesh):
+        """The sharded fused match+gate must reproduce the single-device
+        program bit-for-bit (same keys -> same RANSAC -> same inliers)."""
+        import jax
+        import jax.numpy as jnp
+        from reconstructor_tpu.matching import gated, pairs
+
+        rng = np.random.default_rng(3)
+        n_img, K, D = 6, 64, 32
+        desc = rng.standard_normal((n_img, K, D)).astype(np.float32)
+        desc /= np.linalg.norm(desc, axis=-1, keepdims=True)
+        mask = np.ones((n_img, K), bool)
+        xy = rng.uniform(0, 256, (n_img, K, 2)).astype(np.float32)
+        p = pairs.exhaustive_pairs(n_img)
+        B = ((p.shape[0] + 7) // 8) * 8
+        chunk = np.zeros((B, 2), np.int32)
+        chunk[: p.shape[0]] = p
+        keys = jax.random.split(jax.random.PRNGKey(7), B)
+        kw = dict(ratio_thresh=0.9, cross_check=True, use_fused=False,
+                  num_hypotheses=64, thresh_px=3.0, min_matches=7)
+        ref_idx, ref_cnt = gated.match_and_gate_jit(
+            keys, jnp.asarray(desc), jnp.asarray(mask), jnp.asarray(xy),
+            jnp.asarray(chunk), **kw)
+        sh_idx, sh_cnt = sharding.match_and_gate_sharded(
+            mesh, jnp.asarray(desc), jnp.asarray(mask), jnp.asarray(xy),
+            jnp.asarray(chunk), keys, **kw)
+        np.testing.assert_array_equal(np.asarray(sh_idx), np.asarray(ref_idx))
+        np.testing.assert_array_equal(np.asarray(sh_cnt), np.asarray(ref_cnt))
