@@ -67,6 +67,18 @@ def init_params(key: jax.Array, dtype=jnp.float32) -> Dict[str, Any]:
     return params
 
 
+def params_from_npz(path: str) -> Dict[str, Any]:
+    """Load a parameter pytree saved as a flat ``name.key`` npz (the
+    format scripts/train_frontend.py writes; float16 storage upcasts)."""
+    data = np.load(path)
+    out: Dict[str, Any] = {}
+    for flat_key in data.files:
+        name, k = flat_key.rsplit(".", 1)
+        out.setdefault(name, {})[k] = jnp.asarray(
+            data[flat_key].astype(np.float32))
+    return out
+
+
 def params_from_torch_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
     """Convert a magicleap SuperPointNet state_dict (OIHW torch tensors or
     numpy arrays) to this module's HWIO pytree."""

@@ -88,6 +88,42 @@ def init_params(key: jax.Array, dtype=jnp.float32) -> Dict[str, Any]:
     return params
 
 
+def structured_identity_params(gamma: float = 19.0, bin_score: float = 14.0,
+                               dtype=jnp.float32) -> Dict[str, Any]:
+    """Structured weights that make SuperGlue a pure Sinkhorn matcher.
+
+    The GNN layers are residual (``x = x + mlp(...)``), so zeroing every
+    MLP's final dense (and the keypoint encoder's) turns the 18-layer
+    GNN into an exact identity on the input descriptors; the final
+    projection is ``gamma * I``, so the optimal-transport scores become
+    ``gamma^2 <d_i, d_j> / sqrt(D)`` — temperature-scaled cosine
+    similarity of the raw descriptors — and the full dust-bin Sinkhorn +
+    mutual-argmax + score>0.5 decode runs unchanged.
+
+    This is the dependency-free operating mode for environments without
+    the magicleap checkpoint (config ``superglue_weights="structured"``):
+    every line of the production matcher executes, with matching quality
+    determined by the descriptors alone. gamma/bin_score defaults assume
+    unit-norm descriptors with same-landmark cosine ~0.9 and
+    cross-landmark ~<0.5 (gamma^2/sqrt(D): matched ~20, unmatched ~<11,
+    bin at 14 sits between).
+    """
+    params = init_params(jax.random.PRNGKey(0), dtype)
+
+    def zero_last(mlp_layers):
+        last = mlp_layers[-1]["dense"]
+        last["w"] = jnp.zeros_like(last["w"])
+        last["b"] = jnp.zeros_like(last["b"])
+
+    zero_last(params["kenc"])
+    for layer in params["layers"]:
+        zero_last(layer["mlp"])
+    params["final_proj"] = {"w": gamma * jnp.eye(D_MODEL, dtype=dtype),
+                            "b": jnp.zeros((D_MODEL,), dtype)}
+    params["bin_score"] = jnp.asarray(bin_score, dtype)
+    return params
+
+
 def params_from_torch_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
     """Convert magicleap SuperGlue state_dict (Conv1d OIW kernels) to this
     module's dense layout."""

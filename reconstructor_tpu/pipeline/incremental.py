@@ -331,7 +331,10 @@ class IncrementalReconstructor:
         if not hasattr(self, "_sp_params"):
             from reconstructor_tpu.features import superpoint as sp
             path = self.config.superpoint_weights
-            if path:
+            if path and path.endswith(".npz"):
+                # locally-trained weights (scripts/train_frontend.py)
+                self._sp_params = sp.params_from_npz(path)
+            elif path:
                 import torch
                 sd = torch.load(path, map_location="cpu")
                 sd = {k: v.numpy() for k, v in sd.items()}
@@ -345,7 +348,11 @@ class IncrementalReconstructor:
         if not hasattr(self, "_sg_params"):
             from reconstructor_tpu.matching import superglue as sg
             path = self.config.superglue_weights
-            if path:
+            if path == "structured":
+                # identity GNN + full Sinkhorn decode on raw descriptors
+                # (no-checkpoint operating mode; see superglue.py)
+                self._sg_params = sg.structured_identity_params()
+            elif path:
                 import torch
                 sd = torch.load(path, map_location="cpu")
                 sd = {k: v.numpy() for k, v in sd.items()}

@@ -1,0 +1,86 @@
+"""End-to-end reconstruction through the LEARNED frontend.
+
+VERDICT r1 gap #9: SuperPoint/SuperGlue existed with forward parity but
+no checkpoint had ever driven a reconstruction (zero-egress environment,
+reference blobs absent). This test closes the gap with *trained*
+SuperPoint weights (scripts/train_frontend.py on the analytic corner
+scene, committed at tests/data/superpoint_synth.npz) and *structured*
+SuperGlue weights (identity GNN + full Sinkhorn decode,
+superglue.structured_identity_params): the complete
+decode -> Sinkhorn -> SfM chain runs at reconstruction quality on a
+HELD-OUT scene, through the production folder entry point
+(images are written to disk and read back like any user dataset).
+
+Reference behavior being covered: FeatureSuperPoint.cpp:228-263 +
+FeatureMatcherSuperglue.cpp:51-101 feeding
+SequentialReconstructor::reconstruct (.cpp:978-1103).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from reconstructor_tpu.config import ReconstructorConfig
+from reconstructor_tpu.eval import render, synth
+from reconstructor_tpu.pipeline.incremental import IncrementalReconstructor
+
+WEIGHTS = os.path.join(os.path.dirname(__file__), "data",
+                       "superpoint_synth.npz")
+
+
+@pytest.mark.skipif(not os.path.exists(WEIGHTS),
+                    reason="trained weights not present "
+                           "(run scripts/train_frontend.py)")
+def test_learned_frontend_reconstructs_heldout_scene(tmp_path):
+    # held-out scene: textures, blob layout and rig the training never saw
+    scene = render.make_scene(seed=21, n_views=8, h=160, w=160)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    from PIL import Image
+    for i, im in enumerate(scene["images"]):
+        arr = np.clip(im * 255.0, 0, 255).astype(np.uint8)
+        Image.fromarray(np.stack([arr] * 3, axis=-1)).save(
+            img_dir / f"{i:04d}.png")
+
+    cfg = ReconstructorConfig(
+        detector="superpoint", superpoint_weights=WEIGHTS,
+        matcher="superglue", superglue_weights="structured",
+        max_keypoints=256, focal_px=170.0,
+        superglue_sinkhorn_iters=50,
+        # small scene: keep the reference's global-BA-every-view policy
+        ba_local_window=0, final_refinement_rounds=1)
+    rec = IncrementalReconstructor(cfg, verbose=False)
+    state = rec.reconstruct(str(img_dir), out_folder=str(tmp_path / "out"))
+
+    assert len(state.registered) == 8, (
+        f"learned path registered {len(state.registered)}/8 views")
+    assert state.num_landmarks > 60
+
+    res = synth.pose_ate(state.poses, scene["poses"])
+    assert res["ate_rmse_normalized"] < 0.02, res
+    # output artifacts exist (PLY written through the normal path)
+    assert (tmp_path / "out" / "clouds" / "cloud_final.ply").exists()
+
+
+@pytest.mark.skipif(not os.path.exists(WEIGHTS),
+                    reason="trained weights not present")
+def test_trained_detector_finds_blobs():
+    """Detector sanity on a held-out scene: most GT blob projections get a
+    detection within 2 px, localized by the 65-way subcell decode."""
+    import jax.numpy as jnp
+    from reconstructor_tpu.features import superpoint as sp
+    params = sp.params_from_npz(WEIGHTS)
+    scene = render.make_scene(seed=33, n_views=3, h=160, w=160)
+    shapes = np.tile(np.array([160, 160], np.int32), (3, 1))
+    feats = sp.detect_and_describe(params, jnp.asarray(scene["images"]),
+                                   jnp.asarray(shapes), max_keypoints=256)
+    xy = np.asarray(feats.xy)
+    mask = np.asarray(feats.mask)
+    recalls = []
+    for i in range(3):
+        gt = scene["gt_uv"][i][scene["gt_vis"][i]]
+        det = xy[i][mask[i]]
+        d = np.linalg.norm(gt[:, None] - det[None], axis=-1).min(1)
+        recalls.append((d <= 2.0).mean())
+    assert np.mean(recalls) > 0.7, recalls
