@@ -224,10 +224,18 @@ def solve_distributed(mesh: Mesh, prob: ba_lm.BAProblem, **kwargs) -> ba_lm.BARe
     topology just makes those collectives span ICI + DCN.
     """
     sharded = shard_problem(mesh, prob)
+    solver = _dist_solver(mesh, tuple(sorted(kwargs.items())))
+    return solver(sharded)
+
+
+@functools.lru_cache(maxsize=32)
+def _dist_solver(mesh: Mesh, kwargs_items):
+    """Cached jitted solver: a fresh jax.jit wrapper per call would
+    recompile on every invocation (the jit cache keys on the wrapped
+    callable's identity)."""
     rep = NamedSharding(mesh, P())
-    solver = jax.jit(
-        functools.partial(solve_pcg, **kwargs),
+    return jax.jit(
+        functools.partial(solve_pcg, **dict(kwargs_items)),
         out_shardings=ba_lm.BAResult(cam_params=rep, points=rep,
                                      cost_initial=rep, cost_final=rep,
                                      iterations=rep))
-    return solver(sharded)

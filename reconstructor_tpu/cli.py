@@ -50,11 +50,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--retrieval-top-k", type=int, default=10)
     p.add_argument("--eval-ate", default=None, metavar="GOLDEN_PLY",
                    help="report ATE against a golden cloud after the run")
-    p.add_argument("--local-ba-window", type=int, default=0,
-                   help="windowed local BA size (0 = global BA every view)")
-    p.add_argument("--global-ba-every", type=int, default=8,
+    p.add_argument("--local-ba-window", type=int, default=None,
+                   help="windowed local BA size; 0 = global BA every view "
+                        "(the reference policy); default = config default")
+    p.add_argument("--global-ba-every", type=int, default=None,
                    help="full global BA every N registrations (with local BA)")
-    p.add_argument("--final-refinement", type=int, default=2,
+    p.add_argument("--final-refinement", type=int, default=None,
                    help="extra global BA rounds after the last view")
     p.add_argument("--quiet", action="store_true")
     return p
@@ -73,10 +74,16 @@ def main(argv=None) -> int:
         superpoint_weights=args.superpoint_weights,
         superglue_weights=args.superglue_weights,
         pair_selection=args.pair_selection,
-        retrieval_top_k=args.retrieval_top_k,
-        ba_local_window=args.local_ba_window,
-        ba_global_every=args.global_ba_every,
-        final_refinement_rounds=args.final_refinement)
+        retrieval_top_k=args.retrieval_top_k)
+    # BA-policy flags default to the config's defaults, not to zero —
+    # passing them explicitly overrides
+    overrides = {k: v for k, v in
+                 (("ba_local_window", args.local_ba_window),
+                  ("ba_global_every", args.global_ba_every),
+                  ("final_refinement_rounds", args.final_refinement))
+                 if v is not None}
+    if overrides:
+        cfg = cfg.with_(**overrides)
     rec = IncrementalReconstructor(cfg, verbose=not args.quiet)
     state = rec.reconstruct(args.img_folder, args.out_folder,
                             save_intermediate=args.save_intermediate,

@@ -80,6 +80,10 @@ class ReconstructorConfig:
     filter_chunk_pairs: int = 64         # pairs per jitted F-gate chunk
     match_chunk_pairs: int = 256         # pairs per matching+gate chunk (HBM bound)
     knn_use_pallas: bool = True          # fused VMEM top-2 kernel on TPU
+    # Matmul input dtype for descriptor distances ("float32" | "bfloat16").
+    # bf16 runs the MXU at native rate with f32 accumulation; rounding is
+    # ~2^-9 relative on unit-norm descriptors (see pallas_knn docstring).
+    knn_compute_dtype: str = "float32"
     ransac_confidence: float = 0.99
 
     # ---- incremental engine ---------------------------------------------

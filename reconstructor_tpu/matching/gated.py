@@ -51,7 +51,8 @@ def filter_pairs(keys, pts1, pts2, mask, num_hypotheses: int,
 def match_and_gate(keys, desc, kmask, xy, pair_chunk,
                    ratio_thresh: float, cross_check: bool,
                    use_fused: bool, num_hypotheses: int,
-                   thresh_px: float, min_matches: int):
+                   thresh_px: float, min_matches: int,
+                   compute_dtype: str = "float32"):
     """kNN matching + epipolar gate for one pair chunk (trace-level body;
     callers jit or shard_map it).
 
@@ -62,11 +63,11 @@ def match_and_gate(keys, desc, kmask, xy, pair_chunk,
     if use_fused:
         midx, mmask = pallas_knn.match_all_pairs_fused(
             desc, kmask, pair_chunk, ratio_thresh=ratio_thresh,
-            cross_check=cross_check)
+            cross_check=cross_check, compute_dtype=compute_dtype)
     else:
         midx, mmask = knn.match_all_pairs(
             desc, kmask, pair_chunk, ratio_thresh=ratio_thresh,
-            cross_check=cross_check)
+            cross_check=cross_check, compute_dtype=compute_dtype)
     K = desc.shape[1]
     p1 = xy[pair_chunk[:, 0]]                                    # (B, K, 2)
     p2 = xy[pair_chunk[:, 1][:, None], jnp.clip(midx, 0, K - 1)]  # (B, K, 2)
@@ -86,7 +87,8 @@ def match_and_gate(keys, desc, kmask, xy, pair_chunk,
 match_and_gate_jit = jax.jit(
     match_and_gate,
     static_argnames=("ratio_thresh", "cross_check", "use_fused",
-                     "num_hypotheses", "thresh_px", "min_matches"))
+                     "num_hypotheses", "thresh_px", "min_matches",
+                     "compute_dtype"))
 
 
 filter_pairs_jit = jax.jit(

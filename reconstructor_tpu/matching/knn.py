@@ -29,7 +29,8 @@ def match_pair_scores(desc1: jnp.ndarray, desc2: jnp.ndarray,
     For L2-normalized descriptors d^2 = 2 - 2 <a, b>; the inner products
     run on the MXU. Masked slots are pushed to +inf distance.
     """
-    sim = desc1 @ desc2.T  # (K1, K2) — MXU
+    sim = jnp.matmul(desc1, desc2.T,
+                     preferred_element_type=jnp.float32)  # (K1, K2) — MXU
     d2 = jnp.maximum(2.0 - 2.0 * sim, 0.0)
     big = jnp.asarray(jnp.inf, d2.dtype)
     d2 = jnp.where(mask1[:, None] & mask2[None, :], d2, big)
@@ -69,10 +70,12 @@ match_pair_jit = jax.jit(match_pair,
                          static_argnames=("ratio_thresh", "cross_check"))
 
 
-@functools.partial(jax.jit, static_argnames=("ratio_thresh", "cross_check"))
+@functools.partial(jax.jit, static_argnames=("ratio_thresh", "cross_check",
+                                             "compute_dtype"))
 def match_all_pairs(desc: jnp.ndarray, mask: jnp.ndarray,
                     pair_idx: jnp.ndarray,
-                    ratio_thresh: float = 0.7, cross_check: bool = True):
+                    ratio_thresh: float = 0.7, cross_check: bool = True,
+                    compute_dtype: str = "float32"):
     """Batched matching over an explicit list of image pairs.
 
     desc: (N, K, D); mask: (N, K); pair_idx: (P, 2) int32 image-id pairs.
@@ -82,6 +85,9 @@ def match_all_pairs(desc: jnp.ndarray, mask: jnp.ndarray,
     (SequentialReconstructor.cpp:202) with one vmapped program — the
     natural sharding axis for multi-chip scale-out (matching/sharded.py).
     """
+    if compute_dtype == "bfloat16":
+        desc = desc.astype(jnp.bfloat16)  # f32-accumulated (see pallas_knn)
+
     def one(pair):
         i, j = pair[0], pair[1]
         return match_pair(desc[i], desc[j], mask[i], mask[j],

@@ -108,22 +108,33 @@ def match_all_pairs_sharded(mesh: Mesh, desc: np.ndarray, mask: np.ndarray,
     if use_pallas is None:
         use_pallas = (mesh.devices.flat[0].platform not in ("cpu",)
                       and pallas_knn.supported(desc.shape[1], desc.shape[2]))
+    matcher = _sharded_matcher(mesh, use_pallas, ratio_thresh, cross_check)
+    midx, mmask = matcher(desc_r, mask_r, pairs_s)
+    return np.asarray(midx)[:P_orig], np.asarray(mmask)[:P_orig]
+
+
+@functools.lru_cache(maxsize=32)
+def _sharded_matcher(mesh: Mesh, use_pallas: bool, ratio_thresh: float,
+                     cross_check: bool):
+    """Cached jitted sharded matcher (a fresh ``jax.jit`` wrapper per call
+    would recompile on every invocation — the jit cache is keyed on the
+    wrapped callable's identity)."""
+    from reconstructor_tpu.matching import knn, pallas_knn
     match_fn = (pallas_knn.match_all_pairs_fused if use_pallas
                 else knn.match_all_pairs)
-    matcher = jax.jit(
+    return jax.jit(
         functools.partial(match_fn, ratio_thresh=ratio_thresh,
                           cross_check=cross_check),
         in_shardings=(NamedSharding(mesh, P()), NamedSharding(mesh, P()),
                       NamedSharding(mesh, P(AXIS))),
         out_shardings=NamedSharding(mesh, P(AXIS)))
-    midx, mmask = matcher(desc_r, mask_r, pairs_s)
-    return np.asarray(midx)[:P_orig], np.asarray(mmask)[:P_orig]
 
 
 def match_and_gate_sharded(mesh: Mesh, desc, kmask, xy, pair_idx, keys,
                            ratio_thresh: float, cross_check: bool,
                            use_fused: bool, num_hypotheses: int,
-                           thresh_px: float, min_matches: int):
+                           thresh_px: float, min_matches: int,
+                           compute_dtype: str = "float32"):
     """Fused kNN + epipolar-gate program with the pair axis sharded.
 
     Both halves of matching shard together — the descriptor top-2 AND
@@ -138,6 +149,16 @@ def match_and_gate_sharded(mesh: Mesh, desc, kmask, xy, pair_idx, keys,
     (B must be a multiple of the mesh size — pad the chunk).
     Returns (match_idx (B, K) int16, inlier counts (B,) int32) on device.
     """
+    fn = _sharded_gate(mesh, ratio_thresh, cross_check, use_fused,
+                       num_hypotheses, thresh_px, min_matches, compute_dtype)
+    return fn(keys, desc, kmask, xy, pair_idx)
+
+
+@functools.lru_cache(maxsize=32)
+def _sharded_gate(mesh: Mesh, ratio_thresh: float, cross_check: bool,
+                  use_fused: bool, num_hypotheses: int, thresh_px: float,
+                  min_matches: int, compute_dtype: str):
+    """Cached jitted shard_map program (see _sharded_matcher for why)."""
     from jax import shard_map
     from reconstructor_tpu.matching import gated
 
@@ -145,11 +166,11 @@ def match_and_gate_sharded(mesh: Mesh, desc, kmask, xy, pair_idx, keys,
         gated.match_and_gate, ratio_thresh=ratio_thresh,
         cross_check=cross_check, use_fused=use_fused,
         num_hypotheses=num_hypotheses, thresh_px=thresh_px,
-        min_matches=min_matches)
+        min_matches=min_matches, compute_dtype=compute_dtype)
     fn = shard_map(
         lambda k, d, m, x, p: body(k, d, m, x, p),
         mesh=mesh,
         in_specs=(P(AXIS), P(), P(), P(), P(AXIS)),
         out_specs=(P(AXIS), P(AXIS)),
         check_vma=False)
-    return jax.jit(fn)(keys, desc, kmask, xy, pair_idx)
+    return jax.jit(fn)

@@ -484,7 +484,8 @@ class IncrementalReconstructor:
                             cross_check=cfg.cross_check, use_fused=use_fused,
                             num_hypotheses=cfg.fundamental_num_hypotheses,
                             thresh_px=cfg.fundamental_thresh_px,
-                            min_matches=cfg.min_matches_for_filter)
+                            min_matches=cfg.min_matches_for_filter,
+                            compute_dtype=cfg.knn_compute_dtype)
                     else:
                         fut = _match_filter_chunk(
                             keys, desc_j, mask_j, xy_j, jnp.asarray(chunk),
@@ -492,7 +493,8 @@ class IncrementalReconstructor:
                             cross_check=cfg.cross_check, use_fused=use_fused,
                             num_hypotheses=cfg.fundamental_num_hypotheses,
                             thresh_px=cfg.fundamental_thresh_px,
-                            min_matches=cfg.min_matches_for_filter)
+                            min_matches=cfg.min_matches_for_filter,
+                            compute_dtype=cfg.knn_compute_dtype)
                     futures.append((s0, e, fut))
                 else:
                     futures.append((s0, e, match_fn(
