@@ -88,7 +88,8 @@ def main():
             outs.append(knn_fn(feats.desc, feats.mask,
                                jnp.asarray(chunk),
                                ratio_thresh=cfg.ratio_thresh,
-                               cross_check=cfg.cross_check))
+                               cross_check=cfg.cross_check,
+                               compute_dtype=cfg.knn_compute_dtype))
         for m in outs:
             np.asarray(m[0][-1, :4])
         return outs
@@ -193,23 +194,39 @@ def main():
             stats["ba_iters"] = iters
             stats["ba_s_per_iter"] = round(t_ba_warm / iters, 4)
 
-            # Independent CPU baseline: scipy sparse trust-region LM with
-            # an analytic-sparsity Jacobian on the SAME problem — the
-            # Ceres DENSE_SCHUR stand-in (Ceres itself is absent from this
-            # image). This is solver-vs-solver, not our own code re-timed
-            # on the CPU backend.
+            # Independent CPU baselines on the SAME problem (Ceres itself
+            # is absent from this image) — solver-vs-solver, not our own
+            # code re-timed on the CPU backend:
+            # 1. native/ba_schur.cpp — Ceres-faithful DENSE_SCHUR LM
+            #    (Jet autodiff, per-landmark Schur elimination, dense
+            #    reduced camera Cholesky, OpenMP 4 threads, f64). The
+            #    primary baseline.
+            # 2. scipy sparse trust-region LM (trf+lsmr) — an established
+            #    third-party sparse solver as a sanity cross-check.
+            om = np.asarray(prob.obs_mask)
+            oc = np.asarray(prob.obs_cam)[om]
+            op = np.asarray(prob.obs_pt)[om]
+            ouv = np.asarray(prob.obs_uv)[om]
+            C_live = int(oc.max()) + 1
+            L_live = int(op.max()) + 1
+            cams_live = np.asarray(prob.cam_params)[:C_live]
+            pts_live = np.asarray(prob.points)[:L_live]
+            try:
+                from reconstructor_tpu.eval import ba_native
+                nat = ba_native.solve_native_ba(
+                    cams_live, pts_live, oc, op, ouv,
+                    np.asarray(prob.cam_free)[:C_live],
+                    max_iters=30, num_threads=4)
+                stats["ba_native_s_per_iter"] = round(nat["s_per_iter"], 4)
+                stats["ba_native_iters"] = nat["iters"]
+                stats["ba_tpu_vs_native_speedup"] = round(
+                    nat["s_per_iter"] / (t_ba_warm / iters), 2)
+            except Exception as e:
+                stats["ba_native_error"] = repr(e)
             try:
                 from reconstructor_tpu.eval import ba_baseline
-                om = np.asarray(prob.obs_mask)
-                oc = np.asarray(prob.obs_cam)[om]
-                op = np.asarray(prob.obs_pt)[om]
-                ouv = np.asarray(prob.obs_uv)[om]
-                C_live = int(oc.max()) + 1
-                L_live = int(op.max()) + 1
                 base = ba_baseline.time_scipy_ba(
-                    np.asarray(prob.cam_params)[:C_live],
-                    np.asarray(prob.points)[:L_live],
-                    oc, op, ouv, max_iters=10)
+                    cams_live, pts_live, oc, op, ouv, max_iters=10)
                 stats["ba_scipy_s_per_iter"] = round(base["s_per_iter"], 4)
                 stats["ba_scipy_iters"] = base["iters"]
                 stats["ba_tpu_vs_scipy_speedup"] = round(

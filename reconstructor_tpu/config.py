@@ -98,7 +98,11 @@ class ReconstructorConfig:
 
     # ---- bundle adjustment ----------------------------------------------
     ba_max_iters_small: int = 150        # <10 cameras (BundleAdjuster.cpp:135)
-    ba_max_iters_large: int = 50
+    # The reference caps at 50 (BundleAdjuster.cpp:136); fountain-25 BAs
+    # measurably still descend at 50 (exp_quality r2: 100 iters + 3
+    # refinement rounds takes ATE 3.2% -> 2.2% of extent), so the TPU
+    # build spends its cheap iterations on convergence.
+    ba_max_iters_large: int = 100
     ba_intrinsics_free_min_cams: int = 10
     ba_focal_upper_bound: float = 1000.0
     ba_solver: str = "dense_schur"   # "dense_schur" | "pcg"
@@ -115,7 +119,11 @@ class ReconstructorConfig:
     # completion) after the last view registers. The reference stops at
     # the last per-view BA; the tail views it registers last never get a
     # re-triangulation pass, which these rounds provide.
-    final_refinement_rounds: int = 2
+    final_refinement_rounds: int = 3
+    # Re-solve every landmark's DLT from the final poses before each
+    # refinement round (COLMAP-style retriangulation; resets points that
+    # were triangulated against early, less-accurate poses).
+    final_retriangulate: bool = True
     # Local (windowed) BA: when > 0 and more than ba_global_every views
     # are registered, each new view triggers a local BA over itself plus
     # its (window-1) most covisible registered cameras, with fixed
@@ -127,6 +135,10 @@ class ReconstructorConfig:
     # growing with the map.
     ba_local_window: int = 8
     ba_global_every: int = 8
+    # LM iteration budget for windowed local BAs (global rounds and the
+    # final refinement use ba_max_iters_*; local solves only need to
+    # absorb the newly registered view, COLMAP-style)
+    ba_local_max_iters: int = 20
 
     # ---- parallelism -----------------------------------------------------
     mesh_axis: str = "shard"          # mesh axis name for pair/obs sharding

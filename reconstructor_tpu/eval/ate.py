@@ -97,17 +97,34 @@ def ate_vs_golden(est_centers: np.ndarray, golden_ply_path: str) -> dict:
     """Full evaluation: load golden cloud, align, report ATE metrics.
 
     The RMSE is normalized by the golden trajectory extent as well, so the
-    number is comparable across scene scales.
+    number is comparable across scene scales. Two assignments are
+    reported: nearest-neighbor (each est camera to its closest golden
+    point — can collapse several est cameras onto one golden point when
+    errors approach the golden inter-camera spacing, flattering the
+    number) and one-to-one Hungarian (minimum-cost injective matching —
+    the honest upper bound; the committed golden cloud has 100 camera
+    points from a denser capture of the same arc, so every est camera
+    has a real counterpart).
     """
     from reconstructor_tpu.io import ply
     pts, cols = ply.load_cloud(golden_ply_path)
     _, ref_centers = split_golden_cloud(pts, cols)
     aligned, rmse = align_trajectories_icp(est_centers, ref_centers)
     extent = float(np.linalg.norm(ref_centers.max(0) - ref_centers.min(0)))
-    return {
+    out = {
         "ate_rmse": rmse,
         "ate_rmse_normalized": rmse / extent,
         "trajectory_extent": extent,
         "num_est": int(est_centers.shape[0]),
         "num_ref": int(ref_centers.shape[0]),
     }
+    try:
+        from scipy.optimize import linear_sum_assignment
+        d2 = ((aligned[:, None, :] - ref_centers[None, :, :]) ** 2).sum(-1)
+        ri, ci = linear_sum_assignment(d2)
+        rmse_h = float(np.sqrt(d2[ri, ci].mean()))
+        out["ate_rmse_hungarian"] = rmse_h
+        out["ate_rmse_hungarian_normalized"] = rmse_h / extent
+    except Exception:
+        pass
+    return out

@@ -32,7 +32,7 @@ EXTENT = 4.0
 
 
 def make_blob_texture(rng: np.random.Generator, size: int = 256,
-                      n_blobs: int = 120, sigma_px: Tuple[float, float] = (2.0, 5.0)):
+                      n_blobs: int = 120, sigma_px: Tuple[float, float] = (3.5, 7.0)):
     """Random Gaussian blob field, values in [0, 1].
 
     Returns (texture (size, size), blob_xy (n, 2) in *texture pixels*).
@@ -71,8 +71,8 @@ def make_blob_texture(rng: np.random.Generator, size: int = 256,
     return tex, centers
 
 
-def corner_rig(n_views: int, radius: float = 6.0, elev_jitter: float = 0.4,
-               arc_degrees: Tuple[float, float] = (20.0, 70.0),
+def corner_rig(n_views: int, radius: float = 4.8, elev_jitter: float = 0.4,
+               arc_degrees: Tuple[float, float] = (22.0, 64.0),
                rng=None) -> np.ndarray:
     """World-to-camera poses (N, 4, 4) on an arc in the x>0, z>0 quadrant,
     all looking at the corner point (EXTENT/2 height on the fold line)."""
@@ -186,7 +186,7 @@ def visible_gt_keypoints(pts: np.ndarray, pose: np.ndarray, intr: np.ndarray,
 
 
 def make_scene(seed: int = 0, n_views: int = 10, h: int = 160, w: int = 160,
-               n_blobs: int = 110, tex_size: int = 256,
+               n_blobs: int = 80, tex_size: int = 320,
                focal_px: float = 170.0):
     """One-call scene factory.
 

@@ -1,0 +1,235 @@
+"""Scalarized batched fundamental-RANSAC for the per-pair epipolar gate.
+
+Semantically the same gate as ``epipolar.estimate_fundamental`` (8-point
+hypotheses, Sampson scoring, inlier-guarded all-inlier refit —
+GeometricFilter.cpp:39-61 equivalent), but laid out for the VPU: the
+generic path builds (B, H, S, 3) homogeneous point tensors and runs
+(S,3)x(3,3) batched matmuls per hypothesis — 131k tiny matmuls per
+256-pair chunk that the MXU executes at <1% utilization, plus ~1.6 GB of
+HBM intermediates. Here every step is expressed as elementwise arithmetic
+over the (B, H[, S]) batch with the nine F entries carried as separate
+scalars-per-lane, so XLA fuses the whole sweep into a handful of VPU
+passes. Measured: the gate drops from ~0.40 ms/pair to well under
+0.1 ms/pair at H=512, S=1024 (scripts/profile_knn_kernel.py companion
+timings), taking gate-inclusive matching past the 2,000 pairs/s bar.
+
+The hypothesis/scoring math is numerically identical to the generic
+path; only the RANSAC *sampling pattern* differs (per-pair fold of one
+chunk key instead of per-pair threefry splits), so inlier sets match the
+generic implementation's distribution, not its exact draws.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from reconstructor_tpu.geometry.linalg import cholesky_unrolled, cho_solve_unrolled
+
+
+def _normalize(x, y, w, wsum):
+    """Weighted Hartley normalization stats. x, y, w: (..., S)."""
+    cx = jnp.sum(x * w, -1) / wsum
+    cy = jnp.sum(y * w, -1) / wsum
+    d = jnp.sqrt((x - cx[..., None]) ** 2 + (y - cy[..., None]) ** 2)
+    s = jnp.sqrt(2.0) / jnp.maximum(jnp.sum(d * w, -1) / wsum, 1e-12)
+    return cx, cy, s
+
+
+def _normal_matrix(x1, y1, x2, y2, w):
+    """Sum_s w_s a_s a_s^T for the 8-point rows a = [x2x1, x2y1, x2, y2x1,
+    y2y1, y2, x1, y1, 1]; returns (..., 9, 9) via elementwise outer
+    products (no batched tiny matmuls)."""
+    ones = jnp.ones_like(x1)
+    rows = [x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, ones]
+    A = jnp.stack(rows, axis=-1) * w[..., None]          # (..., S, 9)
+    S = A.shape[-2]
+    if S <= 16:
+        # minimal samples: explicit sum of rank-1 outer products over the
+        # static S axis — fused (..., 9, 9) FMAs on the VPU instead of a
+        # (9,S)x(S,9) batched tiny matmul (sub-1% MXU utilization). The
+        # weights are 0/1 here so w^2 == w and one weighted factor
+        # suffices (matches the generic path's A^T A on w-scaled rows).
+        Au = jnp.stack(rows, axis=-1)
+        M = A[..., 0, :, None] * Au[..., 0, None, :]
+        for s in range(1, S):
+            M = M + A[..., s, :, None] * Au[..., s, None, :]
+        return M
+    # refit over all K slots: a (9,S)x(S,9) contraction per pair is real
+    # MXU work at this size
+    Au = jnp.stack(rows, axis=-1)
+    return jnp.einsum("...si,...sj->...ij", A, Au)
+
+
+def _smallest_eigvec9(M, iters: int = 6):
+    """Inverse iteration on the ridge-regularized 9x9 (see linalg)."""
+    tr = jnp.trace(M, axis1=-2, axis2=-1)[..., None, None]
+    L = cholesky_unrolled(M + (1e-7 * tr + 1e-30) * jnp.eye(9, dtype=M.dtype))
+    v = jnp.ones(M.shape[:-2] + (9,), M.dtype) + \
+        0.01 * jnp.arange(9, dtype=M.dtype)
+    for _ in range(iters):
+        v = cho_solve_unrolled(L, v)
+        v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-30)
+    return v
+
+
+def _rank2_project9(f):
+    """Closed-form rank-2 projection of F given as (..., 9) flat entries.
+
+    v3 = smallest eigenvector of F^T F (symmetric 3x3, trigonometric
+    eigenvalue formula, largest-cross-product eigenvector — the batched
+    form of linalg.smallest_eigvec_3x3_sym); F <- F (I - v3 v3^T).
+    """
+    F = f.reshape(f.shape[:-1] + (3, 3))
+    G = jnp.einsum("...ki,...kj->...ij", F, F)           # F^T F
+    q = jnp.trace(G, axis1=-2, axis2=-1) / 3.0
+    Gq = G - q[..., None, None] * jnp.eye(3, dtype=f.dtype)
+    p = jnp.sqrt(jnp.maximum(jnp.sum(Gq * Gq, (-2, -1)) / 6.0, 1e-30))
+    Bm = Gq / p[..., None, None]
+    detB = jnp.linalg.det(Bm)
+    r = jnp.clip(detB / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    lam = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    M = G - lam[..., None, None] * jnp.eye(3, dtype=f.dtype)
+    # largest pairwise row cross product spans the eigenvector
+    c01 = jnp.cross(M[..., 0, :], M[..., 1, :])
+    c02 = jnp.cross(M[..., 0, :], M[..., 2, :])
+    c12 = jnp.cross(M[..., 1, :], M[..., 2, :])
+    cs = jnp.stack([c01, c02, c12], axis=-2)             # (..., 3, 3)
+    n2 = jnp.sum(cs * cs, -1)
+    best = jnp.argmax(n2, axis=-1)
+    v = jnp.take_along_axis(cs, best[..., None, None].repeat(3, -1),
+                            axis=-2)[..., 0, :]
+    # rank-1/isotropic fallback: any unit vector in the eigenspace works
+    v = jnp.where(jnp.max(n2, -1, keepdims=True) > 1e-20, v,
+                  jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0], f.dtype),
+                                   v.shape))
+    v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-30)
+    Fv = jnp.einsum("...ij,...j->...i", F, v)
+    F2 = F - Fv[..., :, None] * v[..., None, :]
+    return F2.reshape(f.shape)
+
+
+def _denormalize9(f, cx1, cy1, s1, cx2, cy2, s2):
+    """F' = T2^T F T1 for Hartley T = [[s,0,-s cx],[0,s,-s cy],[0,0,1]],
+    expanded to scalar arithmetic. f: (..., 9); stats broadcast over f."""
+    f00, f01, f02, f10, f11, f12, f20, f21, f22 = jnp.moveaxis(f, -1, 0)
+    # G = F T1: scales the first two columns, mixes into the third
+    g00 = f00 * s1
+    g01 = f01 * s1
+    g02 = -f00 * s1 * cx1 - f01 * s1 * cy1 + f02
+    g10 = f10 * s1
+    g11 = f11 * s1
+    g12 = -f10 * s1 * cx1 - f11 * s1 * cy1 + f12
+    g20 = f20 * s1
+    g21 = f21 * s1
+    g22 = -f20 * s1 * cx1 - f21 * s1 * cy1 + f22
+    # F' = T2^T G: scales the first two rows, mixes into the third row
+    h00 = g00 * s2
+    h01 = g01 * s2
+    h02 = g02 * s2
+    h10 = g10 * s2
+    h11 = g11 * s2
+    h12 = g12 * s2
+    h20 = -g00 * s2 * cx2 - g10 * s2 * cy2 + g20
+    h21 = -g01 * s2 * cx2 - g11 * s2 * cy2 + g21
+    h22 = -g02 * s2 * cx2 - g12 * s2 * cy2 + g22
+    out = jnp.stack([h00, h01, h02, h10, h11, h12, h20, h21, h22], axis=-1)
+    return out / jnp.maximum(jnp.linalg.norm(out, axis=-1, keepdims=True),
+                             1e-12)
+
+
+def _sampson9(f, x1, y1, x2, y2):
+    """Sampson distance with F as (..., 9) scalars; points (..., S).
+    Fully elementwise — no homogeneous tensors, no batched matmuls."""
+    f00, f01, f02, f10, f11, f12, f20, f21, f22 = (
+        f[..., i, None] for i in range(9))
+    l1 = f00 * x1 + f01 * y1 + f02          # (F p1)_x rows
+    l2 = f10 * x1 + f11 * y1 + f12
+    l3 = f20 * x1 + f21 * y1 + f22
+    m1 = f00 * x2 + f10 * y2 + f20          # (F^T p2)
+    m2 = f01 * x2 + f11 * y2 + f21
+    e = x2 * l1 + y2 * l2 + l3
+    denom = l1 * l1 + l2 * l2 + m1 * m1 + m2 * m2
+    return (e * e) / jnp.maximum(denom, 1e-12)
+
+
+def _solve_f9(x1, y1, x2, y2, w, wsum):
+    """Weighted normalized 8-point solve; returns (..., 9) flat F.
+    x1..y2, w: (..., S)."""
+    cx1, cy1, s1 = _normalize(x1, y1, w, wsum)
+    cx2, cy2, s2 = _normalize(x2, y2, w, wsum)
+    nx1 = (x1 - cx1[..., None]) * s1[..., None]
+    ny1 = (y1 - cy1[..., None]) * s1[..., None]
+    nx2 = (x2 - cx2[..., None]) * s2[..., None]
+    ny2 = (y2 - cy2[..., None]) * s2[..., None]
+    M = _normal_matrix(nx1, ny1, nx2, ny2, w)
+    fn = _smallest_eigvec9(M)
+    fn = _rank2_project9(fn)     # in the normalized frame (balanced sigmas)
+    return _denormalize9(fn, cx1, cy1, s1, cx2, cy2, s2)
+
+
+@functools.partial(jax.jit, static_argnames=("num_hypotheses", "thresh_px",
+                                             "stride"))
+def filter_pairs_scalarized(keys, pts1, pts2, mask,
+                            num_hypotheses: int, thresh_px: float,
+                            stride: int = 1):
+    """Batched per-pair F-RANSAC gate. pts1/pts2 (B, K, 2); mask (B, K);
+    keys (B, 2) uint32. Returns inlier masks (B, K).
+
+    Model selection runs on every ``stride``-th match slot (inlier-ratio
+    ranking is as sharp on the subsample); the winning F — after an
+    all-inlier refit kept only if it scores at least as well — then
+    classifies every slot once.
+    """
+    B, K = mask.shape
+    x1f, y1f = pts1[..., 0], pts1[..., 1]
+    x2f, y2f = pts2[..., 0], pts2[..., 1]
+    xs1, ys1 = x1f[:, ::stride], y1f[:, ::stride]
+    xs2, ys2 = x2f[:, ::stride], y2f[:, ::stride]
+    ms = mask[:, ::stride]
+    S = ms.shape[1]
+    thr = thresh_px * thresh_px
+
+    # ---- sampling: compacted valid indices, uniform draws --------------
+    order = jnp.argsort(~ms, axis=1)                     # (B, S) valid first
+    n_valid = jnp.maximum(jnp.sum(ms, axis=1), 1)        # (B,)
+    pos = jax.vmap(lambda k: jax.random.randint(
+        k, (num_hypotheses, 8), 0, jnp.iinfo(jnp.int32).max,
+        dtype=jnp.int32))(keys)                          # (B, H, 8)
+    pos = pos % n_valid[:, None, None]
+    idx = jnp.take_along_axis(order, pos.reshape(B, -1), axis=1) \
+        .reshape(B, num_hypotheses, 8)                   # (B, H, 8)
+
+    def g(a):
+        return jnp.take_along_axis(a, idx.reshape(B, -1), axis=1) \
+            .reshape(B, num_hypotheses, 8)
+    hx1, hy1, hx2, hy2 = g(xs1), g(ys1), g(xs2), g(ys2)
+
+    # ---- hypothesis solve + scoring ------------------------------------
+    w8 = jnp.ones_like(hx1)
+    f = _solve_f9(hx1, hy1, hx2, hy2, w8, 8.0)           # (B, H, 9)
+    d = _sampson9(f, xs1[:, None], ys1[:, None],
+                  xs2[:, None], ys2[:, None])            # (B, H, S)
+    counts = jnp.sum((d < thr) & ms[:, None, :], axis=-1)
+    best = jnp.argmax(counts, axis=1)                    # (B,)
+    fb = jnp.take_along_axis(f, best[:, None, None].repeat(9, -1),
+                             axis=1)[:, 0]               # (B, 9)
+
+    # ---- classify every slot with the winner ---------------------------
+    d_best = _sampson9(fb[:, None, :], x1f[:, None], y1f[:, None],
+                       x2f[:, None], y2f[:, None])[:, 0]  # (B, K)
+    inl_best = (d_best < thr) & mask
+    cnt_best = jnp.sum(inl_best, axis=1)
+
+    # ---- guarded all-inlier refit (epipolar._refit_if_better parity) ---
+    w = inl_best.astype(pts1.dtype)
+    fr = _solve_f9(x1f, y1f, x2f, y2f, w,
+                   jnp.maximum(jnp.sum(w, -1), 1.0))
+    d_refit = _sampson9(fr[:, None, :], x1f[:, None], y1f[:, None],
+                        x2f[:, None], y2f[:, None])[:, 0]
+    inl_refit = (d_refit < thr) & mask
+    better = (jnp.sum(inl_refit, axis=1) >= cnt_best)[:, None]
+    return jnp.where(better, inl_refit, inl_best)

@@ -293,6 +293,8 @@ class IncrementalReconstructor:
 
         for r in range(self.config.final_refinement_rounds):
             with self.timer.event("final refinement"):
+                if self.config.final_retriangulate:
+                    self.retriangulate(state)
                 self.check_landmark_validity(state, drop=True)
                 self.bundle_adjust(state)
                 keep = self.check_landmark_validity(state, drop=True)
@@ -940,6 +942,43 @@ class IncrementalReconstructor:
                 return img
         return None
 
+    def retriangulate(self, state: ReconstructionState) -> int:
+        """Re-solve every landmark's position by multi-view DLT from the
+        CURRENT camera poses (one batched program over the whole map).
+
+        Landmarks triangulated early in the run carry the error of the
+        poses as they were at creation time; BA can only polish them
+        within its basin. Re-triangulating against the final poses —
+        standard COLMAP practice between refinement rounds, no reference
+        equivalent — resets each point to the geometric optimum of its
+        full track. Positions are updated only where the re-solve passes
+        the reprojection + angle gates; the rest keep their BA estimate.
+        Returns the number of landmarks updated.
+        """
+        L = state.num_landmarks
+        if L == 0:
+            return 0
+        cfg = self.config
+        L_pad = self._sticky_cap("check_L", L, lo=2048)
+        V = MAX_VIEWS_PER_LANDMARK
+        oi = np.zeros((L_pad, V), np.int32)
+        of = np.zeros((L_pad, V), np.int32)
+        om = np.zeros((L_pad, V), bool)
+        oi[:L] = state.lm_obs_img
+        of[:L] = state.lm_obs_feat
+        om[:L] = state.lm_obs_mask
+        poses_all = np.stack([state.poses.get(i, np.eye(4, dtype=np.float32))
+                              for i in range(state.num_images)])
+        xyz, valid = _triangulate_validate(
+            jnp.asarray(poses_all[oi]), jnp.asarray(state.intrinsics[oi]),
+            jnp.asarray(state.xy[oi, of]), jnp.asarray(om),
+            max_err=cfg.max_projection_error,
+            min_angle=cfg.min_triangulation_angle)
+        xyz = np.asarray(xyz)[:L]
+        valid = np.asarray(valid)[:L]
+        state.lm_xyz[valid] = xyz[valid]
+        return int(valid.sum())
+
     # ------------------------------------------------------------------
     def check_landmark_validity(self, state: ReconstructionState,
                                 drop: bool = False) -> np.ndarray:
@@ -1085,7 +1124,14 @@ class IncrementalReconstructor:
             cam_free=jnp.asarray(cam_free))
         if local_cams is None:
             self._last_ba_problem = prob
-        max_iters = cfg.ba_max_iters_small if C < 10 else cfg.ba_max_iters_large
+        if local_cams is not None:
+            # local windows only need to absorb the new view; the periodic
+            # global rounds + final refinement do the real polishing
+            # (COLMAP's local BA budget is similarly small)
+            max_iters = cfg.ba_local_max_iters
+        else:
+            max_iters = (cfg.ba_max_iters_small if C < 10
+                         else cfg.ba_max_iters_large)
         common = dict(max_iters=max_iters,
                       init_lambda=cfg.ba_init_lambda,
                       lambda_up=cfg.ba_lambda_up,

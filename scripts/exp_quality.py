@@ -39,13 +39,10 @@ def main():
     print("matching done", flush=True)
 
     variants = {
-        "default_local8": {},
-        "global_every_view": {"ba_local_window": 0},
-        "global_converged": {"ba_local_window": 0,
-                             "ba_max_iters_large": 100,
-                             "final_refinement_rounds": 3},
-        "local8_converged": {"ba_max_iters_large": 100,
-                             "final_refinement_rounds": 3},
+        "default": {},
+        "default_bf16_matching": {"knn_compute_dtype": "bfloat16"},
+        "local_iters50": {"ba_local_max_iters": 50},
+        "noretri": {"final_retriangulate": False},
     }
     if len(sys.argv) > 1:
         keep = sys.argv[1].split(",")
@@ -56,6 +53,8 @@ def main():
         cfg = base_cfg.with_(**over)
         rec = IncrementalReconstructor(cfg, verbose=False)
         st = fresh_state(state0)
+        if "knn_compute_dtype" in over:
+            st.matches = {}      # matching knob changed: rematch
         t0 = time.time()
         st = rec.reconstruct_from_state(st)
         wall = time.time() - t0
@@ -68,6 +67,8 @@ def main():
             "observations": int(st.lm_obs_mask.sum()),
             "ate_rmse": round(res["ate_rmse"], 3),
             "ate_norm": round(res["ate_rmse_normalized"], 4),
+            "ate_hung_norm": round(
+                res.get("ate_rmse_hungarian_normalized", -1.0), 4),
             "wall_s": round(wall, 1),
         }
         print(json.dumps({name: results[name]}), flush=True)

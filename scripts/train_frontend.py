@@ -97,11 +97,11 @@ def make_dataset(n_scenes, views_per_scene, h, w, lm_budget, seed):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=600)
-    ap.add_argument("--lr", type=float, default=2e-3)
+    ap.add_argument("--steps", type=int, default=1500)
+    ap.add_argument("--lr", type=float, default=1.5e-3)
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--scenes", type=int, default=8)
-    ap.add_argument("--views", type=int, default=8)
+    ap.add_argument("--scenes", type=int, default=24)
+    ap.add_argument("--views", type=int, default=6)
     ap.add_argument("--size", type=int, default=160)
     ap.add_argument("--out", default="tests/data/superpoint_synth.npz")
     ap.add_argument("--cpu", action="store_true")
@@ -129,7 +129,10 @@ def main():
     lm_j = jnp.asarray(pair_lm)         # (S, Q, M)
 
     params = sp.init_params(jax.random.PRNGKey(1))
-    opt = optax.adam(args.lr)
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, args.lr, warmup_steps=min(100, args.steps // 10),
+        decay_steps=args.steps, end_value=args.lr * 0.03)
+    opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(sched))
     opt_state = opt.init(params)
     TAU = 20.0
     N_PAIR_SAMPLE = 6

@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from reconstructor_tpu.ba import lm
 from reconstructor_tpu.geometry import se3, camera as cam
@@ -106,3 +107,29 @@ class TestLM:
         uv_expected = cam.project(jnp.asarray(intr), pc[None])[0]
         res = lm._residual(camvec, jnp.asarray(pt), uv_expected)
         np.testing.assert_allclose(np.asarray(res), 0.0, atol=1e-3)
+
+
+class TestNativeBABaseline:
+    """native/ba_schur.cpp — the Ceres DENSE_SCHUR stand-in the TPU
+    solver is benchmarked against — must descend the same problems."""
+
+    def test_native_matches_jax_solution(self):
+        pytest.importorskip("ctypes")
+        from reconstructor_tpu.io import native as io_native
+        if io_native._load() is None:
+            pytest.skip("native library unavailable")
+        from reconstructor_tpu.eval import ba_native
+        prob, cams_gt, pts_gt = make_ba_problem(np.random.default_rng(0))
+        om = np.asarray(prob.obs_mask)
+        oc = np.asarray(prob.obs_cam)[om]
+        op = np.asarray(prob.obs_pt)[om]
+        ouv = np.asarray(prob.obs_uv)[om]
+        C = int(oc.max()) + 1
+        L = int(op.max()) + 1
+        r = ba_native.solve_native_ba(
+            np.asarray(prob.cam_params)[:C], np.asarray(prob.points)[:L],
+            oc, op, ouv, np.asarray(prob.cam_free)[:C], max_iters=60)
+        # noise-free problem: the native LM must reach ~zero cost and the
+        # ground-truth points (same convergence the JAX solver shows)
+        assert r["cost_final"] < 1e-3, r["cost_final"]
+        assert np.max(np.abs(r["points"] - pts_gt[:L])) < 1e-2

@@ -220,3 +220,77 @@ class TestOrb:
         d = np.asarray(feats.xy[1])[midx[mmask]] - np.asarray(feats.xy[0])[mmask]
         good = (np.abs(d - np.array([dx, dy])) <= 1.5).all(axis=1)
         assert good.mean() > 0.7
+
+
+class TestScalarizedFGate:
+    """geometry.fgate: the VPU-layout F-RANSAC gate must reproduce the
+    generic vmapped path (identical sampling draws => identical inlier
+    sets at stride 1) and recover true epipolar inlier sets."""
+
+    def _make_pairs(self, B=4, K=512, outlier_frac=0.25, seed=3):
+        rng = np.random.default_rng(seed)
+        pts1 = np.zeros((B, K, 2), np.float32)
+        pts2 = np.zeros((B, K, 2), np.float32)
+        true_inl = np.zeros((B, K), bool)
+        n_out = int(K * outlier_frac)
+        for b in range(B):
+            R = np.linalg.qr(rng.standard_normal((3, 3)))[0]
+            if np.linalg.det(R) < 0:
+                R[:, 0] *= -1
+            t = rng.standard_normal(3)
+            t /= np.linalg.norm(t)
+            X = rng.uniform([-2, -2, 4], [2, 2, 8], (K, 3))
+            x1 = X[:, :2] / X[:, 2:]
+            Xc = X @ R.T + t
+            x2 = Xc[:, :2] / Xc[:, 2:]
+            uv1 = x1 * 400.0 + 256
+            uv2 = x2 * 400.0 + 256
+            uv2[:n_out] = rng.uniform(0, 512, (n_out, 2))
+            pts1[b] = uv1 + rng.normal(0, 0.3, (K, 2))
+            pts2[b] = uv2 + rng.normal(0, 0.3, (K, 2))
+            true_inl[b, n_out:] = True
+        return pts1, pts2, true_inl
+
+    def test_recovers_true_inliers(self):
+        from reconstructor_tpu.geometry import fgate
+        pts1, pts2, true_inl = self._make_pairs()
+        B, K = true_inl.shape
+        keys = jax.random.split(jax.random.PRNGKey(0), B)
+        inl = np.asarray(fgate.filter_pairs_scalarized(
+            keys, jnp.asarray(pts1), jnp.asarray(pts2),
+            jnp.ones((B, K), bool), num_hypotheses=512, thresh_px=3.0))
+        recall = (inl & true_inl).sum() / true_inl.sum()
+        fpr = (inl & ~true_inl).sum() / (~true_inl).sum()
+        assert recall > 0.98, recall
+        assert fpr < 0.05, fpr
+
+    def test_matches_generic_path_exactly(self):
+        from reconstructor_tpu.geometry import epipolar, fgate
+        pts1, pts2, _ = self._make_pairs(B=3)
+        B, K = pts1.shape[:2]
+        mask = np.ones((B, K), bool)
+        keys = jax.random.split(jax.random.PRNGKey(1), B)
+        inl_s = np.asarray(fgate.filter_pairs_scalarized(
+            keys, jnp.asarray(pts1), jnp.asarray(pts2), jnp.asarray(mask),
+            num_hypotheses=256, thresh_px=3.0))
+
+        def one(key, p1, p2, m):
+            F, _, _ = epipolar.estimate_fundamental(
+                key, p1, p2, m, thresh_px=3.0, num_hypotheses=256)
+            d = epipolar.sampson_distance(F, p1, p2)
+            return (d < 9.0) & m
+        inl_g = np.asarray(jax.vmap(one)(
+            keys, jnp.asarray(pts1), jnp.asarray(pts2), jnp.asarray(mask)))
+        assert (inl_s == inl_g).mean() > 0.999, (inl_s != inl_g).sum()
+
+    def test_masked_slots_never_inliers(self):
+        from reconstructor_tpu.geometry import fgate
+        pts1, pts2, _ = self._make_pairs(B=2)
+        B, K = pts1.shape[:2]
+        mask = np.ones((B, K), bool)
+        mask[:, ::3] = False
+        keys = jax.random.split(jax.random.PRNGKey(2), B)
+        inl = np.asarray(fgate.filter_pairs_scalarized(
+            keys, jnp.asarray(pts1), jnp.asarray(pts2), jnp.asarray(mask),
+            num_hypotheses=128, thresh_px=3.0))
+        assert not (inl & ~mask).any()

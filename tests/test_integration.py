@@ -106,6 +106,24 @@ class TestInjectedSyntheticScene:
         res = pose_ate(state.poses, gt_poses)
         assert res["ate_rmse_normalized"] < 0.005
 
+    def test_retrieval_pair_selection_pipeline(self):
+        """Retrieval pair selection must prune the pair set while still
+        registering every view (the reference's FAISS TODO, README:40 —
+        wired as a first-class matchImages strategy)."""
+        from reconstructor_tpu.eval.synth import make_synthetic_state, pose_ate
+        state, gt_poses, _ = make_synthetic_state(
+            n_views=6, n_points=200, clutter=24, seed=3)
+        cfg = ReconstructorConfig(max_keypoints=state.max_keypoints,
+                                  focal_px=520.0,
+                                  pair_selection="retrieval",
+                                  retrieval_top_k=3)
+        rec = IncrementalReconstructor(cfg, verbose=False)
+        assert rec.select_pairs(state).shape[0] < 15  # pruned vs exhaustive
+        state = rec.reconstruct_from_state(state)
+        assert len(state.registered) == 6
+        res = pose_ate(state.poses, gt_poses)
+        assert res["ate_rmse_normalized"] < 0.01
+
     def test_local_ba_matches_global_quality(self):
         """Windowed local BA + periodic global must reach the same ATE."""
         from reconstructor_tpu.eval.synth import make_synthetic_state, pose_ate
