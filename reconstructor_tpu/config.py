@@ -83,7 +83,10 @@ class ReconstructorConfig:
     # Matmul input dtype for descriptor distances ("float32" | "bfloat16").
     # bf16 runs the MXU at native rate with f32 accumulation; rounding is
     # ~2^-9 relative on unit-norm descriptors (see pallas_knn docstring).
-    knn_compute_dtype: str = "float32"
+    # Default bf16: fountain-25 quality is unchanged under it (25/25
+    # registered, ATE within run-to-run noise, 99.1% inlier agreement
+    # with f32 — exp_quality + bench_knn_dtype, r2).
+    knn_compute_dtype: str = "bfloat16"
     ransac_confidence: float = 0.99
 
     # ---- incremental engine ---------------------------------------------
@@ -106,6 +109,11 @@ class ReconstructorConfig:
     ba_intrinsics_free_min_cams: int = 10
     ba_focal_upper_bound: float = 1000.0
     ba_solver: str = "dense_schur"   # "dense_schur" | "pcg"
+    # dense_schur materializes the (C*12, L*3) coupling matrix; above
+    # this element budget (~1.2 GB f32 + solver intermediates) the
+    # implicit-Schur PCG solver is used instead (matvec segment-sums,
+    # O(C+L+O) memory) — the 100-view stress lives there.
+    ba_dense_w_max_elems: int = 300_000_000
     # Huber robust loss on the BA reprojection residual (px; 0 = plain
     # squared loss = reference parity, BundleAdjuster.cpp:95-97 passes no
     # loss function). Robustness to the outlier tail that survives the
@@ -136,9 +144,10 @@ class ReconstructorConfig:
     ba_local_window: int = 8
     ba_global_every: int = 8
     # LM iteration budget for windowed local BAs (global rounds and the
-    # final refinement use ba_max_iters_*; local solves only need to
-    # absorb the newly registered view, COLMAP-style)
-    ba_local_max_iters: int = 20
+    # final refinement use ba_max_iters_*). Measured: 20 iters saves
+    # ~20 s on fountain-25 but costs ATE (2.19% -> 2.51% of extent); 50
+    # holds quality (exp_quality r2).
+    ba_local_max_iters: int = 50
 
     # ---- parallelism -----------------------------------------------------
     mesh_axis: str = "shard"          # mesh axis name for pair/obs sharding

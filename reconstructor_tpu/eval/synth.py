@@ -64,7 +64,9 @@ def make_synthetic_state(n_views: int = 20, n_points: int = 800,
     base_desc /= np.linalg.norm(base_desc, axis=1, keepdims=True)
 
     poses = circular_rig(n_views, rng=rng)
-    K = n_points + clutter
+    # round the keypoint capacity up to a multiple of 128 so the fused
+    # Pallas matcher's layout requirement holds (extra slots are masked)
+    K = ((n_points + clutter + 127) // 128) * 128
     intr = np.tile(np.array([focal_px, focal_px, w // 2, h // 2, 0.0, 0.0],
                             np.float32), (n_views, 1))
     xy = np.zeros((n_views, K, 2), np.float32)
@@ -85,11 +87,13 @@ def make_synthetic_state(n_views: int = 20, n_points: int = 800,
         desc[i, :n_points] = d
         mask[i, :n_points] = vis
         if clutter:
-            xy[i, n_points:] = rng.uniform([0, 0], [w - 1, h - 1],
-                                           (clutter, 2)).astype(np.float32)
+            ce = n_points + clutter    # slots past ce are masked padding
+            xy[i, n_points:ce] = rng.uniform([0, 0], [w - 1, h - 1],
+                                             (clutter, 2)).astype(np.float32)
             cd = rng.standard_normal((clutter, desc_dim)).astype(np.float32)
-            desc[i, n_points:] = cd / np.linalg.norm(cd, axis=1, keepdims=True)
-            mask[i, n_points:] = True
+            desc[i, n_points:ce] = cd / np.linalg.norm(cd, axis=1,
+                                                       keepdims=True)
+            mask[i, n_points:ce] = True
 
     state = ReconstructionState(
         num_images=n_views, max_keypoints=K,

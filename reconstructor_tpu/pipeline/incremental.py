@@ -462,6 +462,10 @@ class IncrementalReconstructor:
             use_fused = (cfg.knn_use_pallas and platform not in ("cpu",)
                          and pallas_knn.supported(state.desc.shape[1],
                                                   state.desc.shape[2]))
+            # bf16 descriptor matmuls are an MXU feature; on CPU they
+            # emulate slowly and perturb results for nothing
+            compute_dtype = (cfg.knn_compute_dtype
+                             if platform not in ("cpu",) else "float32")
             match_fn = (pallas_knn.match_all_pairs_fused if use_fused
                         else knn.match_all_pairs)
             B = cfg.match_chunk_pairs
@@ -1139,10 +1143,18 @@ class IncrementalReconstructor:
                       ftol=cfg.ba_ftol,
                       focal_upper_bound=cfg.ba_focal_upper_bound,
                       huber_delta=cfg.ba_huber_delta)
+        # The dense-W Schur formulation materializes a (C*12, L*3)
+        # coupling matrix — ideal MXU work in the DENSE_SCHUR regime
+        # (tens of cameras) but HBM-infeasible at 100+ cameras with big
+        # maps. Beyond the budget, the implicit-Schur PCG solver (no
+        # materialized W; matvecs as segment-sums) takes over.
+        dense_w_elems = C_pad * 12 * points.shape[0] * 3
+        use_pcg = (cfg.ba_solver == "pcg"
+                   or dense_w_elems > cfg.ba_dense_w_max_elems)
         if self.mesh is not None:
             from reconstructor_tpu.ba import distributed
             result = distributed.solve_distributed(self.mesh, prob, **common)
-        elif cfg.ba_solver == "pcg":
+        elif use_pcg:
             from reconstructor_tpu.ba import distributed
             result = distributed.solve_pcg(prob, **common)
         else:
