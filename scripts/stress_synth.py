@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--local-window", type=int, default=0,
                     help="ba_local_window (0 = global BA every view)")
     ap.add_argument("--global-every", type=int, default=8)
+    ap.add_argument("--checkpoint", default=None,
+                    help="autosave/resume path (the long run rides out "
+                         "environment-side TPU worker crashes)")
     args = ap.parse_args()
 
     import jax
@@ -47,7 +50,21 @@ def main():
                               ba_global_every=args.global_every)
     rec = IncrementalReconstructor(cfg, verbose=True)
     t0 = time.time()
-    state = rec.reconstruct_from_state(state)
+    if args.checkpoint:
+        import os
+        if os.path.exists(args.checkpoint):
+            from reconstructor_tpu.pipeline import checkpoint as ckpt
+            state = ckpt.load(args.checkpoint)
+            key = ckpt.load_rng_key(args.checkpoint)
+            if key is not None:
+                rec._key = key
+            caps = ckpt.load_meta(args.checkpoint).get("caps")
+            if caps:
+                rec._caps.update(caps)
+            print(f"resumed at {len(state.registered)} views",
+                  file=sys.stderr, flush=True)
+    state = rec.reconstruct_from_state(state,
+                                       checkpoint_path=args.checkpoint)
     wall = time.time() - t0
 
     res = {
