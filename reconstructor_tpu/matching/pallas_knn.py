@@ -105,7 +105,9 @@ def _knn_topk2(desc, bias, pair_idx, interpret: bool = False):
     """
     N, K, D = desc.shape
     B = pair_idx.shape[0]
-    TR = min(256, K)
+    # the row-tile size must DIVIDE K (the grid floor-divides): K is
+    # guaranteed a multiple of 128 by supported(), not of 256
+    TR = 256 if K % 256 == 0 else 128
     grid = (B, K // TR)
     descT = jnp.swapaxes(desc, 1, 2)   # (N, D, K) for the canonical dot
     # (N, K) operands ride as (N, 1, K): TPU block shapes need the last

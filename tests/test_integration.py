@@ -248,3 +248,22 @@ class TestCheckpointResume:
         for i in final_a.registered:
             np.testing.assert_allclose(final_b.poses[i], final_a.poses[i],
                                        atol=1e-5)
+
+
+class TestBASolverDispatch:
+    """Above the dense-W memory budget, bundle_adjust must route to the
+    implicit-Schur PCG solver and still converge (the 100-view stress
+    OOMed 16 GB HBM materializing the (C*12, L*3) coupling)."""
+
+    def test_pcg_dispatch_matches_dense(self):
+        from reconstructor_tpu.eval.synth import make_synthetic_state, pose_ate
+        state, gt_poses, _ = make_synthetic_state(
+            n_views=6, n_points=200, clutter=24, seed=3)
+        cfg = ReconstructorConfig(max_keypoints=state.max_keypoints,
+                                  focal_px=520.0,
+                                  ba_dense_w_max_elems=1)  # force PCG
+        rec = IncrementalReconstructor(cfg, verbose=False)
+        state = rec.reconstruct_from_state(state)
+        assert len(state.registered) == 6
+        res = pose_ate(state.poses, gt_poses)
+        assert res["ate_rmse_normalized"] < 0.01, res

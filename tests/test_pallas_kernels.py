@@ -64,3 +64,26 @@ class TestPallasKnn:
             jnp.asarray([[0, 1]], np.int32), interpret=True)
         assert not np.asarray(fm).any()
         assert (np.asarray(fi) == -1).all()
+
+
+def test_fused_kernel_K_not_multiple_of_256():
+    """K a multiple of 128 but not 256 (e.g. 2176 in the 100-view
+    stress) must pick a row tile that divides K — the floor-divided grid
+    silently skipped the last rows and hung the remote compiler."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from reconstructor_tpu.matching import knn, pallas_knn
+    rng = np.random.default_rng(0)
+    K = 384  # 3 x 128
+    assert pallas_knn.supported(K, 128)
+    base = rng.standard_normal((K, 128)).astype(np.float32)
+    desc = np.stack([base + 0.1 * rng.standard_normal((K, 128)).astype(np.float32)
+                     for _ in range(2)])
+    desc /= np.linalg.norm(desc, axis=-1, keepdims=True)
+    mask = np.ones((2, K), bool)
+    pairs = jnp.asarray([[0, 1]], np.int32)
+    mf, _ = pallas_knn.match_all_pairs_fused(jnp.asarray(desc), mask, pairs,
+                                             interpret=True)
+    mx, _ = knn.match_all_pairs(jnp.asarray(desc), jnp.asarray(mask), pairs)
+    assert (np.asarray(mf) == np.asarray(mx)).all()
