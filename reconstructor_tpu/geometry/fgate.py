@@ -11,12 +11,14 @@ over the (B, H[, S]) batch with the nine F entries carried as separate
 scalars-per-lane, so XLA fuses the whole sweep into a handful of VPU
 passes. Measured: the gate drops from ~0.40 ms/pair to well under
 0.1 ms/pair at H=512, S=1024 (scripts/profile_knn_kernel.py companion
-timings), taking gate-inclusive matching past the 2,000 pairs/s bar.
+timings); the driver-measured gate-inclusive matching number lives in
+BENCH_r*.json (`match100_pairs_per_s`).
 
 The hypothesis/scoring math is numerically identical to the generic
-path; only the RANSAC *sampling pattern* differs (per-pair fold of one
-chunk key instead of per-pair threefry splits), so inlier sets match the
-generic implementation's distribution, not its exact draws.
+path, and the RANSAC sampling draws are identical too at equal stride:
+per-pair keys feed the same randint shape/bounds/compaction as
+``ransac.sample_minimal_sets`` (the gated-vs-generic equality test
+relies on this).
 """
 
 from __future__ import annotations

@@ -491,7 +491,7 @@ class IncrementalReconstructor:
                             num_hypotheses=cfg.fundamental_num_hypotheses,
                             thresh_px=cfg.fundamental_thresh_px,
                             min_matches=cfg.min_matches_for_filter,
-                            compute_dtype=cfg.knn_compute_dtype)
+                            compute_dtype=compute_dtype)
                     else:
                         fut = _match_filter_chunk(
                             keys, desc_j, mask_j, xy_j, jnp.asarray(chunk),
@@ -500,7 +500,7 @@ class IncrementalReconstructor:
                             num_hypotheses=cfg.fundamental_num_hypotheses,
                             thresh_px=cfg.fundamental_thresh_px,
                             min_matches=cfg.min_matches_for_filter,
-                            compute_dtype=cfg.knn_compute_dtype)
+                            compute_dtype=compute_dtype)
                     futures.append((s0, e, fut))
                 else:
                     futures.append((s0, e, match_fn(
