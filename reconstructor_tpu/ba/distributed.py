@@ -90,7 +90,7 @@ def _build_pcg_blocks(prob: ba_lm.BAProblem, cam_params, points,
 
 
 def _lm_step_pcg(prob: ba_lm.BAProblem, blocks, lam,
-                 cg_iters: int, cg_tol: float):
+                 cg_iters: int, cg_tol: float, damping: str = "levenberg"):
     """One damped implicit-Schur PCG solve from prebuilt blocks.
 
     The Schur matvec streams over the (sharded) observation axis; no W is
@@ -102,9 +102,15 @@ def _lm_step_pcg(prob: ba_lm.BAProblem, blocks, lam,
     eye12 = jnp.eye(12, dtype=g_c.dtype)
     eye3 = jnp.eye(3, dtype=g_c.dtype)
     fixed_c = 1.0 - prob.cam_free
-    H_cc = H_cc + lam * eye12 + fixed_c[:, :, None] * eye12
-    H_pp = H_pp + (lam + 1e-8) * eye3
-    H_pp_inv = jnp.linalg.inv(H_pp)                  # (L,3,3) replicated
+    if damping == "marquardt":
+        dc = jnp.clip(jnp.diagonal(H_cc, axis1=1, axis2=2), 1e-6, 1e32)
+        dp = jnp.clip(jnp.diagonal(H_pp, axis1=1, axis2=2), 1e-6, 1e32)
+        H_cc = H_cc + (lam * dc)[:, :, None] * eye12 + fixed_c[:, :, None] * eye12
+        H_pp = H_pp + (lam * dp + 1e-8)[:, :, None] * eye3
+    else:
+        H_cc = H_cc + lam * eye12 + fixed_c[:, :, None] * eye12
+        H_pp = H_pp + (lam + 1e-8) * eye3
+    H_pp_inv = ba_lm._inv3x3(H_pp)                   # (L,3,3) replicated
 
     def schur_matvec(u_flat):
         u = u_flat.reshape(C, 12)
@@ -138,13 +144,15 @@ def _lm_step_pcg(prob: ba_lm.BAProblem, blocks, lam,
 
 
 @functools.partial(jax.jit, static_argnames=("max_iters", "cg_iters",
-                                             "max_retries", "huber_delta"))
+                                             "max_retries", "huber_delta",
+                                             "damping"))
 def solve_pcg(prob: ba_lm.BAProblem, max_iters: int = 50,
               init_lambda: float = 1e-3, lambda_up: float = 4.0,
               lambda_down: float = 2.0, ftol: float = 1e-8,
               cg_iters: int = 64, cg_tol: float = 1e-6,
               focal_upper_bound: float = 1000.0,
-              max_retries: int = 5, huber_delta: float = 0.0) -> ba_lm.BAResult:
+              max_retries: int = 5, huber_delta: float = 0.0,
+              damping: str = "marquardt") -> ba_lm.BAResult:
     """LM with implicit-Schur PCG linear solves (mesh-shardable).
 
     Same two-level structure as ba.lm.solve: blocks once per outer
@@ -166,7 +174,8 @@ def solve_pcg(prob: ba_lm.BAProblem, max_iters: int = 50,
 
         def retry_body(s):
             tries, lam_i, accepted, best_cam, best_pts, best_cost = s
-            d_cam, d_pt = _lm_step_pcg(prob, blocks, lam_i, cg_iters, cg_tol)
+            d_cam, d_pt = _lm_step_pcg(prob, blocks, lam_i, cg_iters, cg_tol,
+                                       damping)
             cam_new = (cam + d_cam).at[:, 6:8].min(focal_upper_bound)
             pts_new = pts + d_pt
             new_cost = ba_lm._compute_cost(prob, cam_new, pts_new, huber_delta)

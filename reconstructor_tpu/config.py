@@ -123,6 +123,11 @@ class ReconstructorConfig:
     ba_lambda_up: float = 4.0
     ba_lambda_down: float = 2.0
     ba_ftol: float = 1e-8
+    # LM damping: "marquardt" = lambda * clip(diag(H)) (Ceres-style,
+    # scale-aware — the problem mixes focal px with radians); "levenberg"
+    # = lambda * I (what the reference's plain-Ceres defaults resolve to
+    # after its trust-region schedule).
+    ba_damping: str = "marquardt"
     # Extra global refinement rounds (validity sweep + BA + track
     # completion) after the last view registers. The reference stops at
     # the last per-view BA; the tail views it registers last never get a
