@@ -24,6 +24,7 @@
 // Build: native/build.sh (adds -fopenmp); entry points are extern "C"
 // and ctypes-bound in reconstructor_tpu/eval/ba_native.py.
 
+#include <chrono>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -251,10 +252,15 @@ int ba_schur_solve(double* cams, double* pts, int C, int64_t L,
                    const int64_t* point_offsets, const double* cam_free,
                    int max_iters, double lambda_init, double lambda_up,
                    double lambda_down, double ftol, int num_threads,
-                   double* final_cost) {
+                   double* final_cost,
+                   // optional (nullable) per-iteration traces, each
+                   // max_iters long: accepted cost + elapsed seconds —
+                   // feeds the time-to-equal-cost benchmark metric.
+                   double* trace_cost, double* trace_time) {
 #ifdef _OPENMP
   omp_set_num_threads(num_threads);
 #endif
+  const auto t_start = std::chrono::steady_clock::now();
   const int n = C * kCam;
   std::vector<double> Hcc(n * n), g_c(n);
   std::vector<double> Hpp(L * 9), g_p(L * 3);
@@ -454,15 +460,29 @@ int ba_schur_solve(double* cams, double* pts, int C, int64_t L,
         lambda *= lambda_up;
       }
     }
+    double drop = 1.0;
     if (accepted) {
-      const double drop = (cost - new_cost) / (cost > 1e-12 ? cost : 1e-12);
+      drop = (cost - new_cost) / (cost > 1e-12 ? cost : 1e-12);
       cost = new_cost;
-      if (drop < ftol) {
-        ++it;
-        break;
-      }
-    } else if (lambda > 1e10) {
+    }
+    if (trace_cost) trace_cost[it] = cost;
+    if (trace_time)
+      trace_time[it] = std::chrono::duration<double>(
+                           std::chrono::steady_clock::now() - t_start)
+                           .count();
+    if (accepted && drop < ftol) {
+      ++it;
       break;
+    }
+    if (!accepted && lambda > 1e10) break;
+  }
+  if (trace_cost || trace_time) {
+    const double t_now = std::chrono::duration<double>(
+                             std::chrono::steady_clock::now() - t_start)
+                             .count();
+    for (int k = it; k < max_iters; ++k) {
+      if (trace_cost) trace_cost[k] = cost;
+      if (trace_time) trace_time[k] = t_now;
     }
   }
   *final_cost = cost;

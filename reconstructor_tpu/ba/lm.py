@@ -66,6 +66,9 @@ class BAResult(NamedTuple):
     cost_initial: jnp.ndarray
     cost_final: jnp.ndarray
     iterations: jnp.ndarray
+    # Per-outer-iteration accepted cost (max_iters,), padded with the
+    # final cost — feeds the time-to-equal-cost benchmark metric.
+    cost_trace: jnp.ndarray | None = None
 
 
 def _residual(cam: jnp.ndarray, pt: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
@@ -221,8 +224,10 @@ def coupling_gather_table(obs_pt, obs_cam, obs_mask, num_cams: int,
 
     Each (camera, landmark) pair has at most one observation, so the
     camera-landmark coupling W[c, l] = Jc_o^T Jp_o is a pure GATHER of
-    per-observation blocks — w_idx[c, l] is that observation's index (0
-    with w_mask 0 when the pair is unobserved). This replaces both the
+    per-observation blocks — w_idx[c, l] is that observation's index.
+    Unobserved pairs point at the SENTINEL slot O (one zero column is
+    appended to the per-observation coupling table on device), so no
+    separate (C, L) mask multiply is needed. This replaces both the
     r2 dense scatter (TPU scatters serialize) and the r3-draft one-hot
     batched matmul (thousands of tiny (M,C)@(M,36) products lower to
     VPU work): one gather, full memory-bandwidth speed."""
@@ -230,97 +235,227 @@ def coupling_gather_table(obs_pt, obs_cam, obs_mask, num_cams: int,
     op = np.asarray(obs_pt)
     oc = np.asarray(obs_cam)
     om = np.asarray(obs_mask)
+    O = op.shape[0]
     live = np.nonzero(om)[0]
-    w_idx = np.zeros((num_cams, num_landmarks), np.int32)
-    w_mask = np.zeros((num_cams, num_landmarks), np.float32)
+    w_idx = np.full((num_cams, num_landmarks), O, np.int32)
     w_idx[oc[live], op[live]] = live
-    w_mask[oc[live], op[live]] = 1.0
-    return w_idx, w_mask
+    return w_idx
 
 
-def _normal_blocks_lm(prob: BAProblem, cam_params, points, p_idx, p_mask,
-                      w_idx, w_mask, onehot_cam, huber_delta: float):
-    """Damping-independent normal-equation pieces in landmark-major
-    layout, built once per outer LM iteration. Scatter-free: camera-side
-    reductions are (O,C)^T one-hot matmuls, point-side reductions are
-    masked sums over the padded (L, M) slots, and the coupling W is one
-    gather through the host-precomputed (C, L) table."""
-    C = cam_params.shape[0]
-    L = points.shape[0]
+def _resid_soa(camO, ptO, uvO):
+    """SoA reprojection residual: all operands are (k, O) stacks with the
+    observation axis MINOR, so every array tiles onto the TPU's (8, 128)
+    register layout with ~1x padding (the AoS (O, 2, 12) layout pads
+    5-42x and was the r2 profile's memory sink). Same math as
+    ``_residual`` (BundleAdjuster.h:26-58 parity).
+
+    camO: (12, O) [aa, t, fx, fy, cx, cy, k1, k2]; ptO: (3, O); uvO: (2, O).
+    """
+    aa, t = camO[0:3], camO[3:6]
+    theta2 = aa[0] * aa[0] + aa[1] * aa[1] + aa[2] * aa[2]
+    theta = jnp.sqrt(theta2 + 1e-20)
+    w = aa / theta
+    cos_t = jnp.cos(theta)
+    sin_t = jnp.sin(theta)
+    wxp = jnp.stack([w[1] * ptO[2] - w[2] * ptO[1],
+                     w[2] * ptO[0] - w[0] * ptO[2],
+                     w[0] * ptO[1] - w[1] * ptO[0]])
+    aaxp = jnp.stack([aa[1] * ptO[2] - aa[2] * ptO[1],
+                      aa[2] * ptO[0] - aa[0] * ptO[2],
+                      aa[0] * ptO[1] - aa[1] * ptO[0]])
+    wdp = w[0] * ptO[0] + w[1] * ptO[1] + w[2] * ptO[2]
+    rot = ptO * cos_t + wxp * sin_t + w * (wdp * (1.0 - cos_t))
+    rot = jnp.where(theta2 < 1e-12, ptO + aaxp, rot)
+    p = rot + t
+    z = jnp.where(jnp.abs(p[2]) < 1e-8, 1e-8, p[2])
+    x = p[0] / z
+    y = p[1] / z
+    r = x * x + y * y
+    d = camO[10] * r + camO[11] * r * r
+    u = camO[6] * (x + d) + camO[8]
+    v = camO[7] * (y + d) + camO[9]
+    return jnp.stack([u - uvO[0], v - uvO[1]])
+
+
+def _blocks_soa(camT, ptsT, freeT, obs_cam, obs_pt, uvT, maskO,
+                huber_delta: float):
+    """Residual + Jacobian stacks in SoA layout.
+
+    Jacobians come from 15 unrolled ``jax.jvp`` basis passes through the
+    elementwise SoA residual (XLA CSEs the shared primal); the result is
+    Jc (12, 2, O) and Jp (3, 2, O) — observation axis minor throughout.
+    """
+    camO = camT[:, obs_cam]                                   # (12, O)
+    ptO = ptsT[:, obs_pt]                                     # (3, O)
+    O = obs_cam.shape[0]
+    dtype = camT.dtype
+
+    res = _resid_soa(camO, ptO, uvT) * maskO                  # (2, O)
+
+    zc = jnp.zeros_like(camO)
+    zp = jnp.zeros_like(ptO)
+    ones = jnp.ones((O,), dtype)
+    jc_rows = []
+    for i in range(12):
+        tan = zc.at[i].set(ones)
+        _, jr = jax.jvp(lambda c: _resid_soa(c, ptO, uvT), (camO,), (tan,))
+        jc_rows.append(jr)
+    jp_rows = []
+    for j in range(3):
+        tan = zp.at[j].set(ones)
+        _, jr = jax.jvp(lambda p: _resid_soa(camO, p, uvT), (ptO,), (tan,))
+        jp_rows.append(jr)
+    freeO = freeT[:, obs_cam]                                 # (12, O)
+    Jc = jnp.stack(jc_rows) * maskO * freeO[:, None, :]       # (12, 2, O)
+    Jp = jnp.stack(jp_rows) * maskO                           # (3, 2, O)
+
+    if huber_delta > 0.0:
+        e = jnp.sqrt(res[0] * res[0] + res[1] * res[1] + 1e-20)
+        w = jnp.sqrt(jnp.minimum(1.0, huber_delta / e))       # (O,)
+        res = res * w
+        Jc = Jc * w
+        Jp = Jp * w
+    return res, Jc, Jp
+
+
+def _normal_blocks_lm(prob: BAProblem, camT, ptsT, freeT, uvT, maskO,
+                      w_idx, onehot_cam, huber_delta: float):
+    """Damping-independent normal-equation pieces, SoA layout, built once
+    per outer LM iteration. Scatter-free AND transpose-free:
+
+    - camera-side reductions are (k, O) @ (O, C) one-hot MXU matmuls;
+    - the coupling W AND the point-side reductions come from ONE batched
+      gather through the host-precomputed sentinel (C, L) table, emitted
+      directly in (C, 12, 3, L) layout so the Schur product's (n, 3L)
+      operand is a free reshape.
+    """
+    C = camT.shape[1]
+    L = ptsT.shape[1]
+    res, Jc, Jp = _blocks_soa(camT, ptsT, freeT, prob.obs_cam, prob.obs_pt,
+                              uvT, maskO, huber_delta)
+
+    # Tiny contractions over the residual axis (r=2) are written as
+    # explicit broadcast products: einsum("iro,jro->ijo") lowers to a
+    # batch-O stream of (12,2)@(2,12) micro-dots (measured ~3x slower).
+    Jc0, Jc1 = Jc[:, 0], Jc[:, 1]                             # (12, O)
+    Jp0, Jp1 = Jp[:, 0], Jp[:, 1]                             # (3, O)
+    jtr_c = Jc0 * res[0] + Jc1 * res[1]                       # (12, O)
+    g_cT = jtr_c @ onehot_cam                                 # (12, C)
+    hcc_o = (Jc0[:, None] * Jc0[None] + Jc1[:, None] * Jc1[None])
+    H_cc = (hcc_o.reshape(144, -1) @ onehot_cam).reshape(12, 12, C)
+    H_cc = H_cc.transpose(2, 0, 1)
+
+    # Per-observation coupling blocks, (i, j) flattened: Y[(i,j), o].
+    Y = (Jc0[:, None] * Jp0[None] + Jc1[:, None] * Jp1[None]).reshape(36, -1)
+    hpp_o = (Jp0[:, None] * Jp0[None] + Jp1[:, None] * Jp1[None]).reshape(9, -1)
+    gp_o = Jp0 * res[0] + Jp1 * res[1]                        # (3, O)
+
+    # ONE sentinel-gather per camera row, batched, carrying the coupling
+    # blocks AND the point-side Hpp/g_p rows (48 rows share the (C, L)
+    # index table — TPU gathers are index-rate-bound at ~1.8 ns/index,
+    # so the 12 extra rows ride almost free and replace a second
+    # 524k-index landmark-major gather). Output (C, 48, L): the first 36
+    # rows reshape (for free) to the (C, 12, 3, L) == (n, 3L) coupling
+    # operand; rows 36:48 sum over C into H_pp (9, L) and g_p (3, L)
+    # (each live (c, l) pair is exactly one observation, sentinel slots
+    # are zero, so the camera-sum IS the per-landmark observation sum).
+    src = jnp.concatenate([Y, hpp_o, gp_o], axis=0)           # (48, O)
+    srcp = jnp.concatenate([src, jnp.zeros((48, 1), src.dtype)], axis=1)
+    G = jax.vmap(lambda idx: srcp[:, idx])(w_idx)             # (C, 48, L)
+    W = G[:, :36].reshape(C, 12, 3, L)
+    pt_sum = jnp.sum(G[:, 36:], axis=0)                       # (12, L)
+    H_ppL = pt_sum[:9]                                        # (9, L)
+    g_pL = pt_sum[9:]                                         # (3, L)
+    return g_cT, g_pL, H_cc, H_ppL, W
+
+
+def _inv3x3_soa(h9):
+    """Adjugate inverse of SPD 3x3 blocks stored SoA as (9, L) rows
+    [a b c d e f g h i] — pure elementwise VPU math, L minor."""
+    a, b, c, d, e, f, g, h, i = h9
+    A = e * i - f * h
+    B = c * h - b * i
+    Cc = b * f - c * e
+    D = f * g - d * i
+    E = a * i - c * g
+    F = c * d - a * f
+    G = d * h - e * g
+    H = b * g - a * h
+    I = a * e - b * d
+    det = a * A + b * D + c * G
+    det = jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    return jnp.stack([A, B, Cc, D, E, F, G, H, I]) / det
+
+
+def _damped_schur_step(cam_free, blocks, lam, damping: str):
+    """Damped Schur-complement solve from prebuilt SoA blocks:
+    returns (d_cam (C,12), d_ptT (3,L), predicted_reduction)."""
+    g_cT, g_pL, H_cc, H_ppL, W = blocks
+    C = g_cT.shape[1]
+    L = g_pL.shape[1]
     n = C * 12
-    res, Jc, Jp = _build_blocks(prob, cam_params, points, huber_delta)
-
-    g_c = onehot_cam.T @ jnp.einsum("ori,or->oi", Jc, res)                    # (C,12)
-    H_cc = (onehot_cam.T
-            @ jnp.einsum("ori,orj->oij", Jc, Jc).reshape(-1, 144)).reshape(C, 12, 12)
-
-    A = jnp.einsum("ori,orj->oij", Jc, Jp)                                    # (O,12,3)
-    HppO = jnp.einsum("ori,orj->oij", Jp, Jp)                                 # (O,3,3)
-    gpO = jnp.einsum("ori,or->oi", Jp, res)                                   # (O,3)
-
-    pmm = p_mask[..., None, None]
-    H_pp = jnp.sum(HppO[p_idx] * pmm, axis=1)                                 # (L,3,3)
-    g_p = jnp.sum(gpO[p_idx] * p_mask[..., None], axis=1)                     # (L,3)
-
-    # W[c, l] = Jc^T Jp of the (c, l) observation: one gather, no matmul.
-    W = A[w_idx] * w_mask[..., None, None]                                    # (C,L,12,3)
-    Wt3 = W.transpose(0, 2, 1, 3).reshape(n, L, 3)                            # (C12,L,3)
-    return g_c, g_p, H_cc, H_pp, Wt3
-
-
-def _damped_schur_step(prob: BAProblem, blocks, lam, damping: str):
-    """Damped Schur-complement solve from prebuilt landmark-major blocks:
-    returns (d_cam (C,12), d_pt (L,3))."""
-    g_c, g_p, H_cc, H_pp, Wt3 = blocks
-    C = g_c.shape[0]
-    L = g_p.shape[0]
-    n = C * 12
-    dtype = g_c.dtype
+    dtype = g_cT.dtype
     eye12 = jnp.eye(12, dtype=dtype)
-    eye3 = jnp.eye(3, dtype=dtype)
     # Fixed columns get a unit diagonal so the system stays non-singular
     # and their update is exactly zero.
-    fixed_c = 1.0 - prob.cam_free
+    fixed_c = 1.0 - cam_free
     if damping == "marquardt":
         # Ceres-style: lambda * clip(diag(H)) — scale-aware damping for
         # the badly mixed units (focal px vs radians vs world coords).
         dc = lam * jnp.clip(jnp.diagonal(H_cc, axis1=1, axis2=2), 1e-6, 1e32)
-        dp = lam * jnp.clip(jnp.diagonal(H_pp, axis1=1, axis2=2), 1e-6, 1e32) + 1e-8
+        dp = lam * jnp.clip(H_ppL[jnp.array([0, 4, 8])], 1e-6, 1e32) + 1e-8
     else:
-        dc = jnp.full(H_cc.shape[:2], lam, dtype)
-        dp = jnp.full(H_pp.shape[:2], lam + 1e-8, dtype)
+        dc = jnp.full((C, 12), lam, dtype)
+        dp = jnp.full((3, L), lam + 1e-8, dtype)
     H_cc_d = H_cc + dc[:, :, None] * eye12 + fixed_c[:, :, None] * eye12
-    H_pp_d = H_pp + dp[:, :, None] * eye3
-    Hpp_inv = _inv3x3(H_pp_d)                                        # (L,3,3)
+    H_pp_d = H_ppL.at[jnp.array([0, 4, 8])].add(dp)
+    Hinv = _inv3x3_soa(H_pp_d).reshape(3, 3, L)               # (3,3,L)
 
-    Bt = jnp.einsum("alj,ljk->alk", Wt3, Hpp_inv)                    # (n,L,3)
-    Bf = Bt.reshape(n, L * 3)
-    Wf = Wt3.reshape(n, L * 3)
+    # B = W Hpp^-1 in the same (C, 12, 3, L) layout — the j-contraction
+    # unrolled as 3 broadcast FMAs over (C,12,L) planes (the einsum form
+    # lowers to batch-L micro-dots, measured ~6x slower).
+    B = (W[:, :, 0, None, :] * Hinv[0][None, None]
+         + W[:, :, 1, None, :] * Hinv[1][None, None]
+         + W[:, :, 2, None, :] * Hinv[2][None, None])
+    Wf = W.reshape(n, 3 * L)
+    Bf = B.reshape(n, 3 * L)
 
-    S = -(Bf @ Wf.T)                                                 # MXU
+    S = -(Bf @ Wf.T)                                          # MXU
     ci = jnp.arange(C)
     S = S.reshape(C, 12, C, 12).at[ci, :, ci, :].add(H_cc_d).reshape(n, n)
-    rhs = -(g_c.reshape(-1) - Bf @ g_p.reshape(-1))
+    rhs = -(g_cT.T.reshape(-1) - Bf @ g_pL.reshape(-1))
     chol = jax.scipy.linalg.cho_factor(S)
-    d_cam = jax.scipy.linalg.cho_solve(chol, rhs) * prob.cam_free.reshape(-1)
+    d_cam = jax.scipy.linalg.cho_solve(chol, rhs) * cam_free.reshape(-1)
 
     # Back-substitute points: dp = -Hpp^-1 (g_p + W^T dc)
-    Wt_dc = jnp.einsum("alk,a->lk", Wt3, d_cam)                      # (L,3)
-    d_pt = -jnp.einsum("lij,lj->li", Hpp_inv, g_p + Wt_dc)
+    Wt_dc = (d_cam @ Wf).reshape(3, L)
+    t = g_pL + Wt_dc
+    d_ptT = -(Hinv[:, 0] * t[0] + Hinv[:, 1] * t[1] + Hinv[:, 2] * t[2])
 
     # Predicted cost reduction of the quadratic model (for the gain
     # ratio): with (H + lam D) d = -g,  pred = 0.5 (d^T (lam D) d - d^T g).
     pred = 0.5 * (jnp.sum(d_cam * d_cam * dc.reshape(-1))
-                  + jnp.sum(d_pt * d_pt * dp)
-                  - jnp.dot(d_cam, g_c.reshape(-1))
-                  - jnp.sum(d_pt * g_p))
-    return d_cam.reshape(C, 12), d_pt, pred
+                  + jnp.sum(d_ptT * d_ptT * dp)
+                  - jnp.dot(d_cam, g_cT.T.reshape(-1))
+                  - jnp.sum(d_ptT * g_pL))
+    return d_cam.reshape(C, 12), d_ptT, pred
+
+
+def _cost_soa(camT, ptsT, uvT, maskO, obs_cam, obs_pt,
+              huber_delta: float) -> jnp.ndarray:
+    """SoA total cost — same semantics as ``_compute_cost``."""
+    res = _resid_soa(camT[:, obs_cam], ptsT[:, obs_pt], uvT) * maskO
+    s = res[0] * res[0] + res[1] * res[1]
+    if huber_delta > 0.0:
+        d2 = huber_delta * huber_delta
+        s = jnp.where(s <= d2, s, 2.0 * huber_delta * jnp.sqrt(s + 1e-20) - d2)
+    return 0.5 * jnp.sum(s)
 
 
 @functools.partial(jax.jit, static_argnames=("max_iters", "max_retries",
                                              "huber_delta", "damping",
                                              "schedule"))
-def _solve_landmark_major(prob: BAProblem, p_idx, p_mask, w_idx, w_mask,
+def _solve_landmark_major(prob: BAProblem, w_idx,
                           max_iters: int, init_lambda, lambda_up,
                           lambda_down, ftol, focal_upper_bound,
                           max_retries: int, huber_delta: float,
@@ -332,17 +467,27 @@ def _solve_landmark_major(prob: BAProblem, p_idx, p_mask, w_idx, w_mask,
     # it turns the camera-side reductions into MXU matmuls.
     onehot_cam = ((prob.obs_cam[:, None] == cam_ids)
                   & prob.obs_mask[:, None]).astype(dtype)            # (O,C)
+    # SoA operands: big axis minor everywhere.
+    uvT = prob.obs_uv.T                                              # (2, O)
+    maskO = prob.obs_mask.astype(dtype)[None, :]                     # (1, O)
+    freeT = prob.cam_free.T                                          # (12, C)
+    camT0 = prob.cam_params.T                                        # (12, C)
+    ptsT0 = prob.points.T                                            # (3, L)
 
-    cost0 = _compute_cost(prob, prob.cam_params, prob.points, huber_delta)
+    def cost_of(camT, ptsT):
+        return _cost_soa(camT, ptsT, uvT, maskO, prob.obs_cam,
+                         prob.obs_pt, huber_delta)
+
+    cost0 = cost_of(camT0, ptsT0)
 
     def cond(state):
-        cam, pts, lam, cost, it, done = state
+        cam, pts, lam, cost, it, done, trace = state
         return (it < max_iters) & (~done)
 
     def body(state):
-        cam, pts, lam, cost, it, done = state
-        blocks = _normal_blocks_lm(prob, cam, pts, p_idx, p_mask,
-                                   w_idx, w_mask, onehot_cam, huber_delta)
+        cam, pts, lam, cost, it, done, trace = state
+        blocks = _normal_blocks_lm(prob, cam, pts, freeT, uvT, maskO,
+                                   w_idx, onehot_cam, huber_delta)
 
         def retry_cond(s):
             tries, lam_i, nu, accepted, *_ = s
@@ -350,10 +495,11 @@ def _solve_landmark_major(prob: BAProblem, p_idx, p_mask, w_idx, w_mask,
 
         def retry_body(s):
             tries, lam_i, nu, accepted, best_cam, best_pts, best_cost, lam_next = s
-            d_cam, d_pt, pred = _damped_schur_step(prob, blocks, lam_i, damping)
-            cam_new = (cam + d_cam).at[:, 6:8].min(focal_upper_bound)
-            pts_new = pts + d_pt
-            new_cost = _compute_cost(prob, cam_new, pts_new, huber_delta)
+            d_cam, d_ptT, pred = _damped_schur_step(prob.cam_free, blocks,
+                                                    lam_i, damping)
+            cam_new = (cam + d_cam.T).at[6:8].min(focal_upper_bound)
+            pts_new = pts + d_ptT
+            new_cost = cost_of(cam_new, pts_new)
             good = (new_cost < cost) & jnp.isfinite(new_cost)
             if schedule == "nielsen":
                 # Marquardt-Nielsen gain-ratio schedule (what Ceres's
@@ -392,14 +538,17 @@ def _solve_landmark_major(prob: BAProblem, p_idx, p_mask, w_idx, w_mask,
         # next outer iteration; termination is convergence or lambda blowup
         done = (accepted & (rel_drop < ftol) & (rel_drop >= 0)) | (lam > 1e10)
         cost = jnp.where(accepted, new_cost, cost)
-        return cam, pts, lam, cost, it + 1, done
+        trace = trace.at[it].set(cost)
+        return cam, pts, lam, cost, it + 1, done, trace
 
     lam0 = jnp.asarray(init_lambda, dtype)
-    state = (prob.cam_params, prob.points, lam0, cost0,
-             jnp.asarray(0, jnp.int32), jnp.asarray(False))
-    cam, pts, lam, cost, it, _ = jax.lax.while_loop(cond, body, state)
-    return BAResult(cam_params=cam, points=pts, cost_initial=cost0,
-                    cost_final=cost, iterations=it)
+    state = (camT0, ptsT0, lam0, cost0,
+             jnp.asarray(0, jnp.int32), jnp.asarray(False),
+             jnp.full((max_iters,), jnp.inf, dtype))
+    cam, pts, lam, cost, it, _, trace = jax.lax.while_loop(cond, body, state)
+    trace = jax.lax.cummin(jnp.where(jnp.isfinite(trace), trace, cost))
+    return BAResult(cam_params=cam.T, points=pts.T, cost_initial=cost0,
+                    cost_final=cost, iterations=it, cost_trace=trace)
 
 
 def solve(prob: BAProblem, max_iters: int = 50, init_lambda: float = 1e-3,
@@ -423,21 +572,18 @@ def solve(prob: BAProblem, max_iters: int = 50, init_lambda: float = 1e-3,
            prob.cam_params.shape[0], prob.points.shape[0])
     cached = _LAYOUT_CACHE.get(key)
     if cached is None:
-        p_idx, _p_cam, p_mask = landmark_major_layout(
-            prob.obs_pt, prob.obs_cam, prob.obs_mask, prob.points.shape[0])
-        w_idx, w_mask = coupling_gather_table(
+        w_idx = coupling_gather_table(
             prob.obs_pt, prob.obs_cam, prob.obs_mask,
             prob.cam_params.shape[0], prob.points.shape[0])
-        cached = (jnp.asarray(p_idx), jnp.asarray(p_mask),
-                  jnp.asarray(w_idx), jnp.asarray(w_mask),
+        cached = (jnp.asarray(w_idx),
                   # hold references so id()s can't be recycled
                   prob.obs_pt, prob.obs_cam, prob.obs_mask)
         if len(_LAYOUT_CACHE) > 8:
             _LAYOUT_CACHE.clear()
         _LAYOUT_CACHE[key] = cached
-    p_idx, p_mask, w_idx, w_mask = cached[:4]
+    w_idx = cached[0]
     return _solve_landmark_major(
-        prob, p_idx, p_mask, w_idx, w_mask,
+        prob, w_idx,
         max_iters, init_lambda, lambda_up, lambda_down, ftol,
         focal_upper_bound, max_retries, huber_delta, damping, schedule)
 

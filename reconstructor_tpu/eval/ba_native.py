@@ -36,7 +36,8 @@ def solve_native_ba(cam_params: np.ndarray, points: np.ndarray,
         ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_double),
         ctypes.c_int, ctypes.c_double, ctypes.c_double, ctypes.c_double,
-        ctypes.c_double, ctypes.c_int, ctypes.POINTER(ctypes.c_double)]
+        ctypes.c_double, ctypes.c_int, ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double)]
 
     C = cam_params.shape[0]
     L = points.shape[0]
@@ -52,6 +53,8 @@ def solve_native_ba(cam_params: np.ndarray, points: np.ndarray,
     pts = np.ascontiguousarray(points, np.float64).copy()
     free = np.ascontiguousarray(cam_free, np.float64)
     final_cost = ctypes.c_double(0.0)
+    trace_cost = np.zeros(max_iters, np.float64)
+    trace_time = np.zeros(max_iters, np.float64)
 
     def p(a, t):
         return a.ctypes.data_as(ctypes.POINTER(t))
@@ -62,7 +65,8 @@ def solve_native_ba(cam_params: np.ndarray, points: np.ndarray,
         C, L, p(oc, ctypes.c_int32), p(op, ctypes.c_int32),
         p(ouv, ctypes.c_double), oc.size, p(offsets, ctypes.c_int64),
         p(free, ctypes.c_double), max_iters, lambda_init, lambda_up,
-        lambda_down, ftol, num_threads, ctypes.byref(final_cost))
+        lambda_down, ftol, num_threads, ctypes.byref(final_cost),
+        p(trace_cost, ctypes.c_double), p(trace_time, ctypes.c_double))
     dt = time.time() - t0
     iters = max(int(iters), 1)
     return {
@@ -70,6 +74,8 @@ def solve_native_ba(cam_params: np.ndarray, points: np.ndarray,
         "iters": iters,
         "s_per_iter": dt / iters,
         "cost_final": float(final_cost.value),
+        "cost_trace": trace_cost,
+        "time_trace": trace_time,
         "cam_params": cams,
         "points": pts,
     }

@@ -93,7 +93,24 @@ def time_tpu(prob, max_iters=50, damping="marquardt", huber=0.0, repeat=3):
         t0 = time.time(); r = run(); best = min(best, time.time() - t0)
     iters = max(int(r.iterations), 1)
     return dict(total_s=best, iters=iters, s_per_iter=best / iters,
-                cost0=float(r.cost_initial), cost=float(r.cost_final))
+                cost0=float(r.cost_initial), cost=float(r.cost_final),
+                cost_trace=np.asarray(r.cost_trace))
+
+
+def time_to_cost(t, n):
+    """Seconds each solver takes to reach the WORSE of the two final
+    costs (so both demonstrably got there). TPU per-iteration time is
+    total/iters (uniform retries assumption); native carries a real
+    per-iteration clock."""
+    target = max(t["cost"], n["cost"]) * (1.0 + 1e-6)
+    ti = int(np.argmax(t["cost_trace"] <= target)) + 1
+    tpu_s = t["s_per_iter"] * ti
+    reached = n["cost_trace"] <= target
+    if reached.any():
+        native_s = float(n["time_trace"][int(np.argmax(reached))])
+    else:
+        native_s = float(n["total_s"])
+    return tpu_s, native_s
 
 
 def time_native(prob, max_iters=50):
@@ -108,7 +125,8 @@ def time_native(prob, max_iters=50):
         np.asarray(prob.cam_params)[:C], np.asarray(prob.points)[:L],
         oc, op, ouv, np.asarray(prob.cam_free)[:C], max_iters=max_iters)
     return dict(total_s=r["total_s"], iters=r["iters"],
-                s_per_iter=r["s_per_iter"], cost=r["cost_final"])
+                s_per_iter=r["s_per_iter"], cost=r["cost_final"],
+                cost_trace=r["cost_trace"], time_trace=r["time_trace"])
 
 
 def main():
@@ -140,6 +158,10 @@ def main():
               f"{n['s_per_iter']*1e3:.2f} ms/iter  cost -> {n['cost']:.3f}",
               file=sys.stderr)
         print(f"  speedup (s/iter): {n['s_per_iter']/t['s_per_iter']:.2f}x",
+              file=sys.stderr)
+        tpu_s, native_s = time_to_cost(t, n)
+        print(f"  time-to-equal-cost: tpu {tpu_s:.3f}s vs native "
+              f"{native_s:.3f}s = {native_s/max(tpu_s,1e-9):.2f}x",
               file=sys.stderr)
 
 

@@ -1,10 +1,10 @@
-"""Device-side per-iteration profile of the BA solver pieces.
+"""Device-side per-iteration profile of the BA solver pieces (SoA core).
 
 Each piece runs K times inside a lax.fori_loop with a data dependence
 (so XLA cannot hoist it) and returns ONE scalar — no big host transfers,
 so the remote-relay transfer cost cannot pollute the numbers.
 
-Usage: PYTHONPATH=/root/repo:/root/repo/scripts:/root/.axon_site python scripts/profile_ba2.py
+Usage: PYTHONPATH=/root/repo:/root/repo/scripts:/root/.axon_site python scripts/profile_ba2.py [C L]
 """
 
 import os
@@ -39,74 +39,94 @@ def main():
 
     print("device:", jax.devices()[0], file=sys.stderr)
     rng = np.random.default_rng(0)
-    prob, O = make_problem(rng, 25, 11000, None, C_pad=32, L_pad=16384)
+    if len(sys.argv) >= 3:
+        C_req, L_req = int(sys.argv[1]), int(sys.argv[2])
+        C_pad = -(-C_req // 16) * 16
+        L_pad = -(-L_req // 4096) * 4096
+        prob, O = make_problem(rng, C_req, L_req, None, C_pad=C_pad, L_pad=L_pad)
+    else:
+        prob, O = make_problem(rng, 25, 11000, None, C_pad=32, L_pad=16384)
     C = prob.cam_params.shape[0]
+    L = prob.points.shape[0]
 
-    p_idx, p_cam, p_mask = lm.landmark_major_layout(
-        prob.obs_pt, prob.obs_cam, prob.obs_mask, prob.points.shape[0])
-    w_idx, w_mask = lm.coupling_gather_table(
-        prob.obs_pt, prob.obs_cam, prob.obs_mask,
-        prob.cam_params.shape[0], prob.points.shape[0])
-    p_idx, p_cam, p_mask, w_idx, w_mask = map(
-        jnp.asarray, (p_idx, p_cam, p_mask, w_idx, w_mask))
-    print(f"shapes: C={C} L={prob.points.shape[0]} O={prob.obs_cam.shape[0]} "
-          f"M={p_idx.shape[1]} K={K}", file=sys.stderr)
+    w_idx = jnp.asarray(lm.coupling_gather_table(
+        prob.obs_pt, prob.obs_cam, prob.obs_mask, C, L))
+    print(f"shapes: C={C} L={L} O={prob.obs_cam.shape[0]} K={K}",
+          file=sys.stderr)
 
-    cam_ids = jnp.arange(C, dtype=p_cam.dtype)
+    cam_ids = jnp.arange(C, dtype=prob.obs_cam.dtype)
     onehot_cam = ((prob.obs_cam[:, None] == cam_ids)
                   & prob.obs_mask[:, None]).astype(jnp.float32)
-    cam0, pts0 = prob.cam_params, prob.points
+    camT0 = prob.cam_params.T
+    ptsT0 = prob.points.T
+    uvT = prob.obs_uv.T
+    maskO = prob.obs_mask.astype(jnp.float32)[None, :]
+    freeT = prob.cam_free.T
 
     @jax.jit
     def loop_jac(eps):
         def body(i, acc):
-            res, Jc, Jp = lm._build_blocks(prob, cam0 + acc * 1e-30, pts0, 0.0)
+            res, Jc, Jp = lm._blocks_soa(camT0 + acc * 1e-30, ptsT0, freeT,
+                                         prob.obs_cam, prob.obs_pt, uvT,
+                                         maskO, 0.0)
             return acc + res[0, 0] + Jc[0, 0, 0] + Jp[0, 0, 0]
         return lax.fori_loop(0, K, body, eps)
 
     @jax.jit
     def loop_blocks(eps):
         def body(i, acc):
-            b = lm._normal_blocks_lm(prob, cam0 + acc * 1e-30, pts0,
-                                     p_idx, p_mask, w_idx, w_mask, onehot_cam, 0.0)
-            return acc + b[0][0, 0] + b[4][0, 0, 0]
+            b = lm._normal_blocks_lm(prob, camT0 + acc * 1e-30, ptsT0, freeT,
+                                     uvT, maskO, w_idx, onehot_cam, 0.0)
+            return acc + b[0][0, 0] + b[1][0, 0] + b[2][0, 0, 0] \
+                + b[3][0, 0] + b[4][0, 0, 0, 0]
         return lax.fori_loop(0, K, body, eps)
 
     blocks = jax.jit(lambda: lm._normal_blocks_lm(
-        prob, cam0, pts0, p_idx, p_mask, w_idx, w_mask, onehot_cam, 0.0))()
+        prob, camT0, ptsT0, freeT, uvT, maskO, w_idx, onehot_cam, 0.0))()
 
     @jax.jit
     def loop_step(eps):
         def body(i, acc):
             d_cam, d_pt, pred = lm._damped_schur_step(
-                prob, blocks, 1e-3 + acc * 1e-30, "marquardt")
+                prob.cam_free, blocks, 1e-3 + acc * 1e-30, "marquardt")
             return acc + d_cam[2, 0] + d_pt[0, 0] + pred * 0
         return lax.fori_loop(0, K, body, eps)
 
     @jax.jit
     def loop_cost(eps):
         def body(i, acc):
-            c = lm._compute_cost(prob, cam0 + acc * 1e-30, pts0, 0.0)
+            c = lm._cost_soa(camT0 + acc * 1e-30, ptsT0, uvT, maskO,
+                             prob.obs_cam, prob.obs_pt, 0.0)
             return acc + c * 1e-30
         return lax.fori_loop(0, K, body, eps)
 
     @jax.jit
     def loop_full(eps):
         def body(i, acc):
-            b = lm._normal_blocks_lm(prob, cam0 + acc * 1e-30, pts0,
-                                     p_idx, p_mask, w_idx, w_mask, onehot_cam, 0.0)
-            d_cam, d_pt, pred = lm._damped_schur_step(prob, b, 1e-3, "marquardt")
-            c = lm._compute_cost(prob, cam0 + d_cam, pts0 + d_pt, 0.0)
+            b = lm._normal_blocks_lm(prob, camT0 + acc * 1e-30, ptsT0, freeT,
+                                     uvT, maskO, w_idx, onehot_cam, 0.0)
+            d_cam, d_pt, pred = lm._damped_schur_step(
+                prob.cam_free, b, 1e-3, "marquardt")
+            c = lm._cost_soa(camT0 + d_cam.T, ptsT0 + d_pt, uvT, maskO,
+                             prob.obs_cam, prob.obs_pt, 0.0)
             return acc + c * 1e-30
         return lax.fori_loop(0, K, body, eps)
 
     z = jnp.asarray(0.0, jnp.float32)
+
+    @jax.jit
+    def loop_null(eps):
+        return lax.fori_loop(0, K, lambda i, a: a + eps * 1e-30, eps)
+
+    base = timeit(loop_null, z)
+    print(f"{'dispatch baseline':28s}: {base * 1e3:8.2f} ms/call "
+          f"(subtracted below)", file=sys.stderr)
     for name, fn in [("jacobians only", loop_jac),
                      ("normal blocks (incl jac)", loop_blocks),
                      ("schur step only", loop_step),
                      ("cost eval only", loop_cost),
                      ("full iteration", loop_full)]:
-        t = timeit(fn, z)
+        t = timeit(fn, z) - base
         print(f"{name:28s}: {t / K * 1e3:8.2f} ms/iter", file=sys.stderr)
 
 
