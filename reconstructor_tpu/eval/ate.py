@@ -93,6 +93,45 @@ def align_trajectories_icp(est: np.ndarray, ref: np.ndarray,
     return best
 
 
+def ate_floor_vs_golden(est_centers: np.ndarray, golden_ply_path: str) -> dict:
+    """Measure the evaluation-methodology floor (VERDICT r2 #2).
+
+    The committed golden cloud is a 100-camera reconstruction of the
+    capture our 25 inputs subsample, so the question is what ATE a
+    PERFECT 25-camera trajectory would report through the same
+    correspondence-free NN-ICP pipeline. Construction: align the
+    estimated centers to the golden arc, snap each to its nearest
+    golden camera point (deduplicated — a perfect reconstruction sits
+    exactly on a subset of the golden positions), and push that exact
+    subset back through ``ate_vs_golden``. Also reports a
+    capture-order-agnostic variant: every 4th golden point ordered
+    along the arc's first PCA axis.
+
+    A floor ~0 means the 100-vs-25 capture mismatch does NOT excuse
+    residual ATE; a large floor would mean the metric itself is limited.
+    """
+    from reconstructor_tpu.io import ply
+    pts, cols = ply.load_cloud(golden_ply_path)
+    _, ref_centers = split_golden_cloud(pts, cols)
+    aligned, _ = align_trajectories_icp(est_centers, ref_centers)
+    d2 = ((aligned[:, None, :] - ref_centers[None, :, :]) ** 2).sum(-1)
+    snap = np.unique(d2.argmin(1))
+    perfect = ref_centers[snap]
+    res_snap = ate_vs_golden(perfect, golden_ply_path)
+
+    order = np.argsort(ref_centers @ _pca_frame(ref_centers)[1][0])
+    stride = max(1, ref_centers.shape[0] // max(est_centers.shape[0], 1))
+    perfect_stride = ref_centers[order[::stride]][: est_centers.shape[0]]
+    res_stride = ate_vs_golden(perfect_stride, golden_ply_path)
+    return {
+        "ate_floor_normalized": res_snap["ate_rmse_normalized"],
+        "ate_floor_hungarian_normalized":
+            res_snap.get("ate_rmse_hungarian_normalized", float("nan")),
+        "ate_floor_stride_normalized": res_stride["ate_rmse_normalized"],
+        "floor_subset_size": int(perfect.shape[0]),
+    }
+
+
 def ate_vs_golden(est_centers: np.ndarray, golden_ply_path: str) -> dict:
     """Full evaluation: load golden cloud, align, report ATE metrics.
 
