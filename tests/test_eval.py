@@ -45,3 +45,21 @@ class TestAlignICP:
         cols[3] = (0, 250, 0)
         lm, cams = ate.split_golden_cloud(pts, cols)
         assert lm.shape[0] == 4 and cams.shape[0] == 1
+
+
+class TestAteFloor:
+    def test_floor_on_golden_subset(self):
+        """A perfect 25-of-100 golden-arc subset pushed through the same
+        NN-ICP pipeline: the floor must be well below the measured
+        end-to-end ATE (else the metric is saturated) and nonnegative."""
+        golden = "/root/reference/cloud_fountain.ply"
+        from reconstructor_tpu.io import ply
+        pts, cols = ply.load_cloud(golden)
+        _, ref = ate.split_golden_cloud(pts, cols)
+        order = np.argsort(ref @ np.linalg.svd(
+            ref - ref.mean(0), full_matrices=False)[2][0])
+        est = ref[order[::4]][:25] * 1.7 + np.array([0.3, -1.0, 2.0])
+        res = ate.ate_floor_vs_golden(est, golden)
+        assert 0.0 <= res["ate_floor_normalized"] < 0.022
+        assert 0.0 <= res["ate_floor_stride_normalized"] < 0.022
+        assert res["floor_subset_size"] >= 20
