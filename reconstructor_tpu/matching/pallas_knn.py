@@ -36,6 +36,66 @@ from jax.experimental.pallas import tpu as pltpu
 
 _BIG = 1e30
 
+# Packed top-2 quantization: distances in [0, 4] scaled by 2^17 into 19
+# bits, packed with the 12-bit slot id ((di << 12) | id <= int32 max).
+# One plain int min then yields value AND argmin in a single reduction
+# pass — replacing the min + argmin + masked-second float sweeps that
+# dominated the kernel's VPU time — with identical tie-breaking (lowest
+# index on equal distance, matching jnp.argmin). Quantization perturbs
+# the ratio test by <= 2^-17 absolute on squared distances; the masked
+# sentinel DMAX is reserved (real distances clip to DMAX - 1) so "no
+# valid column" still surfaces as an effectively-infinite distance.
+_SCALE = 131072.0          # 2^17
+_DMAX = (1 << 19) - 1      # mask sentinel (packed >= _DMAX << 12)
+
+
+def _knn_kernel_packed(idx_ref, d1_ref, d2t_ref, bias1_ref, bias2_ref,
+                       best_ref, second_ref, arg_ref, colarg_ref,
+                       colbest_ref):
+    del idx_ref  # consumed by the BlockSpec index maps (scalar prefetch)
+    r = pl.program_id(1)
+    TR = d1_ref.shape[1]
+    K = d2t_ref.shape[2]
+
+    d1 = d1_ref[0]                                    # (TR, D)
+    d2t = d2t_ref[0]                                  # (D, K)
+    prec = (jax.lax.Precision.DEFAULT if d1.dtype == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
+    sim = jax.lax.dot_general(d1, d2t, (((1,), (0,)), ((), ())),
+                              precision=prec,
+                              preferred_element_type=jnp.float32)
+    di = jnp.clip((2.0 - 2.0 * sim) * _SCALE, 0.0, float(_DMAX - 1)) \
+        .astype(jnp.int32)
+    di = jnp.maximum(di, bias2_ref[0, 0][None, :])    # mask image-2 slots
+
+    # ---- row top-2 (single int-min reductions) -------------------------
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (TR, K), 1)
+    p = (di << 12) | col_ids
+    bestp = jnp.min(p, axis=1)
+    secondp = jnp.min(
+        jnp.where(p == bestp[:, None], jnp.int32(2**31 - 1), p), axis=1)
+    sentinel = jnp.int32(_DMAX) << 12
+    best_ref[0, 0] = jnp.where(
+        bestp >= sentinel, _BIG,
+        (bestp >> 12).astype(jnp.float32) * (1.0 / _SCALE))
+    second_ref[0, 0] = jnp.where(
+        secondp >= sentinel, _BIG,
+        (secondp >> 12).astype(jnp.float32) * (1.0 / _SCALE))
+    arg_ref[0, 0] = bestp & 4095
+
+    # ---- column best (mutual cross-check), packed accumulator ----------
+    di_c = jnp.maximum(di, bias1_ref[0, 0][:, None])  # mask image-1 rows
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (TR, K), 0) + r * TR
+    cp = jnp.min((di_c << 12) | row_ids, axis=0)
+
+    @pl.when(r == 0)
+    def _():
+        colbest_ref[0] = jnp.full_like(colbest_ref[0], 2**31 - 1)
+
+    acc = jnp.minimum(cp, colbest_ref[0])
+    colbest_ref[0] = acc
+    colarg_ref[0, 0] = acc & 4095
+
 
 def _knn_kernel(idx_ref, d1_ref, d2t_ref, bias1_ref, bias2_ref,
                 best_ref, second_ref, arg_ref, colarg_ref,
@@ -89,9 +149,11 @@ def _knn_kernel(idx_ref, d1_ref, d2t_ref, bias1_ref, bias2_ref,
     colarg_ref[0, 0] = jnp.where(upd, colarg, colarg_ref[0, 0])
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _knn_topk2(desc, bias, pair_idx, interpret: bool = False):
-    """desc: (N, K, D) f32 or bf16; bias: (N, K) f32 (0 valid / 1e30 not);
+@functools.partial(jax.jit, static_argnames=("interpret", "packed"))
+def _knn_topk2(desc, bias, pair_idx, interpret: bool = False,
+               packed: bool = True):
+    """desc: (N, K, D) f32 or bf16; bias: (N, K) f32 (0 valid / 1e30 not)
+    or int32 (0 valid / _DMAX not) for the packed kernel;
     pair_idx: (B, 2) int32 image indices.
 
     Returns (best (B,K), second (B,K), arg (B,K) int32, colarg (B,K) int32).
@@ -128,10 +190,11 @@ def _knn_topk2(desc, bias, pair_idx, interpret: bool = False):
             pl.BlockSpec((1, 1, TR), lambda p, r, idx: (p, 0, r)),
             pl.BlockSpec((1, 1, K), lambda p, r, idx: (p, 0, 0)),
         ],
-        scratch_shapes=[pltpu.VMEM((1, K), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((1, K),
+                                   jnp.int32 if packed else jnp.float32)],
     )
     kernel = pl.pallas_call(
-        _knn_kernel,
+        _knn_kernel_packed if packed else _knn_kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, 1, K), jnp.float32),
@@ -176,9 +239,12 @@ def match_all_pairs_fused(desc: jnp.ndarray, mask: jnp.ndarray,
     i, j = pair_idx[:, 0], pair_idx[:, 1]
     if compute_dtype == "bfloat16":
         desc = desc.astype(jnp.bfloat16)
-    bias = jnp.where(mask, 0.0, _BIG).astype(jnp.float32)
+    packed = desc.shape[1] <= 4096     # 12-bit slot ids in the packed kernel
+    bias = (jnp.where(mask, 0, _DMAX).astype(jnp.int32) if packed
+            else jnp.where(mask, 0.0, _BIG).astype(jnp.float32))
     best, second, arg, colarg = _knn_topk2(desc, bias, pair_idx,
-                                           interpret=interpret)
+                                           interpret=interpret,
+                                           packed=packed)
 
     ratio_ok = best < (ratio_thresh * ratio_thresh) * second
     ok = ratio_ok & mask[i] & (best < _BIG * 0.5)

@@ -385,7 +385,9 @@ class IncrementalReconstructor:
                 max_keypoints=cfg.max_keypoints,
                 threshold=cfg.orb_fast_threshold)
         else:
-            feats = sift.detect_and_describe(
+            from reconstructor_tpu.utils import aot
+            feats = aot.call(
+                "sift_detect", sift.detect_and_describe,
                 jnp.asarray(gray), jnp.asarray(shapes),
                 max_keypoints=cfg.max_keypoints,
                 num_scales=cfg.sift_num_scales,
@@ -415,11 +417,25 @@ class IncrementalReconstructor:
     # ------------------------------------------------------------------
     def _device_frontend(self, state: ReconstructionState):
         """Device copies of (desc, kp_mask, xy), cached on the state: the
-        ~200 MB descriptor upload must not be paid once per matching call."""
+        ~200 MB descriptor upload must not be paid once per matching call.
+
+        The keypoint axis is trimmed to the dataset's real occupancy:
+        detection emits top_k-sorted slots (scores descending, so valid
+        keypoints are a prefix), and matching cost is quadratic in K, so
+        carrying the full ``max_keypoints`` capacity when the densest
+        image holds fewer is pure padding work. Kt is the max per-image
+        count rounded up to 256 (keeps the fused kernel's row tiling and
+        one compiled shape per dataset). Match tables produced at Kt are
+        padded back to capacity on the host (match_lookup / checkpoint
+        assume full-length tables); slot ids are unchanged by the trim."""
         cache = getattr(state, "_dev_frontend", None)
         if cache is None or cache[0] is not state.desc:
-            cache = (state.desc, jnp.asarray(state.desc),
-                     jnp.asarray(state.kp_mask), jnp.asarray(state.xy))
+            counts = np.asarray(state.kp_mask).sum(axis=1)
+            kt = int(counts.max()) if counts.size else 0
+            kt = min(state.desc.shape[1], max(256, -(-kt // 256) * 256))
+            cache = (state.desc, jnp.asarray(state.desc[:, :kt]),
+                     jnp.asarray(state.kp_mask[:, :kt]),
+                     jnp.asarray(state.xy[:, :kt]))
             state._dev_frontend = cache
         return cache[1], cache[2], cache[3]
 
@@ -459,9 +475,10 @@ class IncrementalReconstructor:
             platform = (self.mesh.devices.flat[0].platform
                         if self.mesh is not None
                         else jax.devices()[0].platform)
+            desc_j, mask_j, xy_j = self._device_frontend(state)
+            Kt = int(desc_j.shape[1])          # trimmed keypoint width
             use_fused = (cfg.knn_use_pallas and platform not in ("cpu",)
-                         and pallas_knn.supported(state.desc.shape[1],
-                                                  state.desc.shape[2]))
+                         and pallas_knn.supported(Kt, state.desc.shape[2]))
             # bf16 descriptor matmuls are an MXU feature; on CPU they
             # emulate slowly and perturb results for nothing
             compute_dtype = (cfg.knn_compute_dtype
@@ -472,7 +489,6 @@ class IncrementalReconstructor:
             if self.mesh is not None:
                 n_dev = int(self.mesh.devices.size)
                 B = _round_up(B, n_dev)
-            desc_j, mask_j, xy_j = self._device_frontend(state)
             P = pair_idx.shape[0]
             futures = []
             for s0 in range(0, P, B):
@@ -493,7 +509,9 @@ class IncrementalReconstructor:
                             min_matches=cfg.min_matches_for_filter,
                             compute_dtype=compute_dtype)
                     else:
-                        fut = _match_filter_chunk(
+                        from reconstructor_tpu.utils import aot
+                        fut = aot.call(
+                            "match_gate", _match_filter_chunk,
                             keys, desc_j, mask_j, xy_j, jnp.asarray(chunk),
                             ratio_thresh=cfg.ratio_thresh,
                             cross_check=cfg.cross_check, use_fused=use_fused,
@@ -507,6 +525,7 @@ class IncrementalReconstructor:
                         desc_j, mask_j, jnp.asarray(chunk),
                         ratio_thresh=cfg.ratio_thresh,
                         cross_check=cfg.cross_check)))
+            K = state.max_keypoints
             if filter:
                 for s0, e, (mi, cnt) in futures:
                     mi = np.asarray(mi)
@@ -514,15 +533,15 @@ class IncrementalReconstructor:
                     for q in range(e - s0):
                         if cnt[q] > 0:
                             i, j = pair_idx[s0 + q]
-                            state.matches[(int(i), int(j))] = \
-                                mi[q].astype(np.int32)
+                            full = np.full(K, -1, np.int32)
+                            full[:Kt] = mi[q]
+                            state.matches[(int(i), int(j))] = full
                 return
-            K = state.max_keypoints
             midx = np.full((P, K), -1, np.int32)
             mmask = np.zeros((P, K), bool)
             for s0, e, (mi, mm) in futures:
-                midx[s0:e] = np.asarray(mi)[: e - s0]
-                mmask[s0:e] = np.asarray(mm)[: e - s0]
+                midx[s0:e, :Kt] = np.asarray(mi)[: e - s0]
+                mmask[s0:e, :Kt] = np.asarray(mm)[: e - s0]
         midx = np.asarray(midx)
         mmask = np.asarray(mmask)
 

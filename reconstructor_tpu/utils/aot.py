@@ -1,0 +1,116 @@
+"""Cross-process AOT executable cache for the cold-start problem.
+
+Compiles through this environment's remote-compile relay cost tens of
+seconds per program (~10 hot programs => minutes of cold start,
+BENCH_r02 detect_cold_s = 99.5 s), and the persistent jax compilation
+cache HANGS through the relay (ENVIRONMENT_NOTES.md #3). The remaining
+lever is ``jax.experimental.serialize_executable``: serialize the
+compiled executable itself and reload it in later processes, skipping
+XLA (and the relay) entirely.
+
+Opt-in via ``RECON_AOT_CACHE=<dir>`` — deserialization on an exotic PJRT
+plugin is exactly the kind of path that can misbehave, so nothing here
+runs unless explicitly requested, and every cache interaction falls back
+to the plain jitted call on any error. ``scripts/probe_aot.py`` answers
+whether the backend supports the mechanism at all.
+
+Capability parity note: the reference has no cold-start problem to solve
+(C++ AOT by construction); this is the TPU-native equivalent of shipping
+a compiled binary.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import pickle
+
+_mem: dict = {}
+_MISS = object()          # tombstone: load failed once, don't retry
+
+
+def cache_dir() -> str:
+    return os.environ.get("RECON_AOT_CACHE", "")
+
+
+def _key(name: str, args, statics) -> str:
+    import jax
+
+    dev = jax.devices()[0]
+    sig = [name, jax.__version__, dev.platform,
+           getattr(dev, "device_kind", "?")]
+    for a in args:
+        if hasattr(a, "shape") and hasattr(a, "dtype"):
+            sig.append(f"{tuple(a.shape)}:{a.dtype}")   # str() covers
+            # extended dtypes (typed PRNG keys) np.dtype() rejects
+        else:
+            sig.append(repr(a))
+    for k in sorted(statics):
+        sig.append(f"{k}={statics[k]!r}")
+    return hashlib.sha256("|".join(sig).encode()).hexdigest()[:24]
+
+
+def call(name: str, jitted, *args, **statics):
+    """``jitted(*args, **statics)`` through the executable cache.
+
+    ``statics`` must be exactly the jitted function's static kwargs;
+    dynamic operands are positional. With ``RECON_AOT_CACHE`` unset this
+    is a plain call with zero overhead beyond the env lookup.
+    """
+    d = cache_dir()
+    if not d:
+        return jitted(*args, **statics)
+    try:
+        key = _key(name, args, statics)
+    except Exception:
+        return jitted(*args, **statics)
+    exe = _mem.get(key)
+    if exe is _MISS:
+        return jitted(*args, **statics)
+    if exe is None:
+        exe = _load(d, key)
+        if exe is None:
+            try:
+                exe = jitted.lower(*args, **statics).compile()
+                _store(d, key, exe)
+            except Exception:
+                _mem[key] = _MISS
+                return jitted(*args, **statics)
+        _mem[key] = exe
+    try:
+        return exe(*args)
+    except Exception:
+        _mem[key] = _MISS
+        return jitted(*args, **statics)
+
+
+def _load(d: str, key: str):
+    path = os.path.join(d, key)
+    if not (os.path.exists(path + ".bin") and os.path.exists(path + ".trees")):
+        return None
+    try:
+        from jax.experimental import serialize_executable as se
+        with open(path + ".bin", "rb") as fh:
+            blob = fh.read()
+        with open(path + ".trees", "rb") as fh:
+            in_tree, out_tree = pickle.load(fh)
+        return se.deserialize_and_load(blob, in_tree, out_tree)
+    except Exception:
+        return None
+
+
+def _store(d: str, key: str, exe) -> None:
+    try:
+        from jax.experimental import serialize_executable as se
+        os.makedirs(d, exist_ok=True)
+        blob, in_tree, out_tree = se.serialize(exe)
+        path = os.path.join(d, key)
+        tmp = path + f".tmp{os.getpid()}"
+        with open(tmp, "wb") as fh:
+            fh.write(blob)
+        os.replace(tmp, path + ".bin")
+        with open(tmp, "wb") as fh:
+            pickle.dump((in_tree, out_tree), fh)
+        os.replace(tmp, path + ".trees")
+    except Exception:
+        pass

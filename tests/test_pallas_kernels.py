@@ -87,3 +87,29 @@ def test_fused_kernel_K_not_multiple_of_256():
                                              interpret=True)
     mx, _ = knn.match_all_pairs(jnp.asarray(desc), jnp.asarray(mask), pairs)
     assert (np.asarray(mf) == np.asarray(mx)).all()
+
+
+def test_fused_single_valid_column_ratio_passes():
+    """One valid keypoint in image j: the 'second best' is the masked
+    sentinel (effectively infinite), so the ratio test must PASS for the
+    lone candidate — the packed kernel's reserved DMAX sentinel must
+    reproduce the float kernel's 1e30 semantics here."""
+    from reconstructor_tpu.matching import knn, pallas_knn
+    rng = np.random.default_rng(13)
+    N, K, D = 2, 128, 128
+    desc = rng.standard_normal((N, K, D)).astype(np.float32)
+    desc /= np.linalg.norm(desc, axis=-1, keepdims=True)
+    desc[1, 0] = desc[0, 5]          # the lone valid slot matches kp 5
+    mask = np.zeros((N, K), bool)
+    mask[0] = True
+    mask[1, 0] = True
+    pair_idx = jnp.asarray([[0, 1]], np.int32)
+    ri, rm = knn.match_all_pairs(
+        jnp.asarray(desc), jnp.asarray(mask), pair_idx,
+        ratio_thresh=0.7, cross_check=True)
+    fi, fm = pallas_knn.match_all_pairs_fused(
+        jnp.asarray(desc), jnp.asarray(mask), pair_idx,
+        ratio_thresh=0.7, cross_check=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(rm), np.asarray(fm))
+    np.testing.assert_array_equal(np.asarray(ri), np.asarray(fi))
+    assert np.asarray(fm)[0, 5]      # the lone match survived the ratio

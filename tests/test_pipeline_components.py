@@ -173,3 +173,51 @@ class TestRunReport:
         assert report["num_images"] == 3
         assert "feature extraction" in report["stage_timings_ms"]
         assert report["num_landmarks"] > 0
+
+
+class TestKeypointTrim:
+    """match_features trims the keypoint axis to real occupancy (detection
+    emits top_k-sorted slots, so valid keypoints are a prefix); results
+    must be identical to the untrimmed capacity run, padded back to K."""
+
+    def test_trimmed_matches_equal_untrimmed(self):
+        from reconstructor_tpu.config import ReconstructorConfig
+        from reconstructor_tpu.pipeline.incremental import IncrementalReconstructor
+        from reconstructor_tpu.matching import knn
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(3)
+        n, k_cap, k_real, d = 4, 1024, 300, 8
+        st = tiny_state(n=n, k=k_cap)
+        # overwrite with structured descriptors: images share a common
+        # bank so real cross-image matches exist
+        bank = rng.standard_normal((k_real, d)).astype(np.float32)
+        desc = np.zeros((n, k_cap, d), np.float32)
+        mask = np.zeros((n, k_cap), bool)
+        for i in range(n):
+            desc[i, :k_real] = bank + 0.05 * rng.standard_normal((k_real, d))
+            mask[i, :k_real] = True
+        desc /= np.maximum(np.linalg.norm(desc, axis=-1, keepdims=True), 1e-9)
+        st.desc, st.kp_mask = desc, mask
+        st.xy = rng.uniform(0, 100, (n, k_cap, 2)).astype(np.float32)
+
+        cfg = ReconstructorConfig(max_keypoints=k_cap)
+        rec = IncrementalReconstructor(cfg, verbose=False)
+        rec.match_features(st, filter=False)
+
+        # trim must have engaged: cached device desc is (n, 512, d)
+        assert st._dev_frontend[1].shape[1] == 512
+
+        pair_idx = pairing.exhaustive_pairs(n)
+        ref_idx, ref_mask = knn.match_all_pairs(
+            jnp.asarray(desc), jnp.asarray(mask), jnp.asarray(pair_idx),
+            ratio_thresh=cfg.ratio_thresh, cross_check=cfg.cross_check)
+        ref_idx, ref_mask = np.asarray(ref_idx), np.asarray(ref_mask)
+        for p, (i, j) in enumerate(pair_idx):
+            want = np.where(ref_mask[p], ref_idx[p], -1)
+            got = st.matches.get((int(i), int(j)))
+            if got is None:
+                assert (want < 0).all()
+            else:
+                assert got.shape == (k_cap,)
+                np.testing.assert_array_equal(got, want)
