@@ -143,6 +143,9 @@ def main():
     ap.add_argument("--out", default="tests/data/superpoint_fountain.npz")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--reconstruct", action="store_true")
+    ap.add_argument("--init", default=None,
+                    help="warm-start from an existing weights npz "
+                         "(continue training across sessions)")
     args = ap.parse_args()
 
     import jax
@@ -181,6 +184,22 @@ def main():
     print(f"bank: {args.pairs} crop pairs", flush=True)
 
     params = sp.init_params(jax.random.PRNGKey(1))
+    if args.init and os.path.exists(args.init):
+        loaded = dict(np.load(args.init))
+        params = {name: {kk: jnp.asarray(loaded[f"{name}.{kk}"],
+                                         jnp.float32)
+                         for kk in layer}
+                  for name, layer in params.items()}
+        print(f"warm-start from {args.init}", flush=True)
+
+    def save_params(p):
+        flat = {}
+        for name, layer in p.items():
+            for kk, v in layer.items():
+                flat[f"{name}.{kk}"] = np.asarray(v).astype(np.float16)
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        np.savez_compressed(args.out, **flat)
+
     sched = optax.warmup_cosine_decay_schedule(
         0.0, args.lr, warmup_steps=min(100, args.steps // 10),
         decay_steps=args.steps, end_value=args.lr * 0.03)
@@ -232,6 +251,8 @@ def main():
             print(f"step {it:4d}  loss {float(l):.4f}  det {float(det):.4f}"
                   f"  desc {float(desc):.4f}  ({time.time()-t0:.0f}s)",
                   flush=True)
+        if it and it % 100 == 0:
+            save_params(params)   # ride out session/environment cutoffs
 
     # ---- held-out eval vs the teacher ----------------------------------
     held = list(range(20, 25))
@@ -255,12 +276,7 @@ def main():
         "weights": args.out,
     }
 
-    flat = {}
-    for name, layer in params.items():
-        for kk, v in layer.items():
-            flat[f"{name}.{kk}"] = np.asarray(v).astype(np.float16)
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
-    np.savez_compressed(args.out, **flat)
+    save_params(params)
     out["size_mb"] = round(os.path.getsize(args.out) / 1e6, 2)
     print(json.dumps(out), flush=True)
 
