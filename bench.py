@@ -306,8 +306,8 @@ def main():
             poses = np.stack([state.poses[i] for i in state.registered])
             ply.save_cloud("out/cloud_fountain_ours.ply",
                            state.lm_xyz, state.lm_rgb, poses)
-        except Exception:
-            pass
+        except Exception as e:  # record, don't swallow (ADVICE r3)
+            stats["cloud_export_error"] = repr(e)
         res = ate.ate_vs_golden(centers, "/root/reference/cloud_fountain.ply")
         stats["ate_rmse"] = round(res["ate_rmse"], 3)
         stats["ate_normalized"] = round(res["ate_rmse_normalized"], 4)

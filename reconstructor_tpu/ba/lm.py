@@ -242,6 +242,77 @@ def coupling_gather_table(obs_pt, obs_cam, obs_mask, num_cams: int,
     return w_idx
 
 
+def _bucket(n: int) -> int:
+    """Size bucket {1, 1.25, 1.5, 1.75} * 2^k >= n (min 256): tight
+    enough to strip the capacity-doubling padding the pipeline's sticky
+    caps leave on the problem (the r3 bench solved L=32768 for 10.8k
+    live landmarks), coarse enough that a growing reconstruction
+    recompiles only log-many times (<= 4 shapes per octave)."""
+    if n <= 256:
+        return 256
+    p = 1 << (n - 1).bit_length()
+    for num in (5, 6, 7):
+        cand = (p // 8) * num
+        if n <= cand:
+            return cand
+    return p
+
+
+def compact_problem(prob: BAProblem):
+    """Host-side compaction: drop masked observations, landmarks with no
+    live observation AND cameras with no live observation, bucket the
+    trailing pads, and return (compact_problem, used_landmarks,
+    used_cameras, n_live_obs).
+
+    The camera axis matters as much as the others: the incremental
+    pipeline pads every problem to one dataset-wide C tier (so local and
+    global BA share a compiled shape), which made an 8-camera local
+    window solve at C_pad=112 — a 112x12 Cholesky and a (C, L) coupling
+    gather paying 90% dead indices (the r3 stress run spent 1715 s of
+    3044 in local BA). Cameras bucket to multiples of 16 so window sizes
+    share shapes. Results must be scattered back through ``used`` maps."""
+    import numpy as np
+    om = np.asarray(prob.obs_mask)
+    live = np.nonzero(om)[0]
+    op = np.asarray(prob.obs_pt)[live]
+    oc = np.asarray(prob.obs_cam)[live]
+    uv = np.asarray(prob.obs_uv)[live]
+    used = np.unique(op)                       # sorted landmark ids
+    used_cams = np.unique(oc)                  # sorted camera ids
+    L_c = _bucket(max(int(used.size), 1))
+    O_c = _bucket(max(int(live.size), 1))
+    C_c = min(prob.cam_params.shape[0],
+              max(16, -(-int(used_cams.size) // 16) * 16))
+    remap = np.zeros(prob.points.shape[0], np.int32)
+    remap[used] = np.arange(used.size, dtype=np.int32)
+    cremap = np.zeros(prob.cam_params.shape[0], np.int32)
+    cremap[used_cams] = np.arange(used_cams.size, dtype=np.int32)
+    obs_pt = np.zeros(O_c, np.int32)
+    obs_cam = np.zeros(O_c, np.int32)
+    obs_uv = np.zeros((O_c, 2), np.float32)
+    obs_mask = np.zeros(O_c, bool)
+    n = live.size
+    obs_pt[:n] = remap[op]
+    obs_cam[:n] = cremap[oc]
+    obs_uv[:n] = uv
+    obs_mask[:n] = True
+    pts = np.zeros((L_c, 3), np.float32)
+    pts[:used.size] = np.asarray(prob.points)[used]
+    cams = np.zeros((C_c, 12), np.float32)
+    cams[:used_cams.size] = np.asarray(prob.cam_params)[used_cams]
+    cfree = np.zeros((C_c, 12), np.float32)
+    cfree[:used_cams.size] = np.asarray(prob.cam_free)[used_cams]
+    cprob = BAProblem(
+        cam_params=jnp.asarray(cams),
+        points=jnp.asarray(pts),
+        obs_cam=jnp.asarray(obs_cam),
+        obs_pt=jnp.asarray(obs_pt),
+        obs_uv=jnp.asarray(obs_uv),
+        obs_mask=jnp.asarray(obs_mask),
+        cam_free=jnp.asarray(cfree))
+    return cprob, used, used_cams, int(n)
+
+
 def _resid_soa(camO, ptO, uvO):
     """SoA reprojection residual: all operands are (k, O) stacks with the
     observation axis MINOR, so every array tiles onto the TPU's (8, 128)
@@ -278,14 +349,22 @@ def _resid_soa(camO, ptO, uvO):
 
 
 def _blocks_soa(camT, ptsT, freeT, obs_cam, obs_pt, uvT, maskO,
-                huber_delta: float):
+                huber_delta: float, onehot_cam=None):
     """Residual + Jacobian stacks in SoA layout.
 
     Jacobians come from 15 unrolled ``jax.jvp`` basis passes through the
     elementwise SoA residual (XLA CSEs the shared primal); the result is
     Jc (12, 2, O) and Jp (3, 2, O) — observation axis minor throughout.
+
+    With ``onehot_cam`` (O, C) the per-observation camera gather becomes a
+    (12, C) @ (C, O) one-hot MXU matmul — TPU gathers are index-rate
+    bound (~1 ns/element fetched) and the camera gather was ~40% of the
+    r3 cost-eval wall; the matmul is effectively free at C in the dozens.
     """
-    camO = camT[:, obs_cam]                                   # (12, O)
+    if onehot_cam is not None:
+        camO = camT @ onehot_cam.T                            # (12, O)
+    else:
+        camO = camT[:, obs_cam]                               # (12, O)
     ptO = ptsT[:, obs_pt]                                     # (3, O)
     O = obs_cam.shape[0]
     dtype = camT.dtype
@@ -305,7 +384,10 @@ def _blocks_soa(camT, ptsT, freeT, obs_cam, obs_pt, uvT, maskO,
         tan = zp.at[j].set(ones)
         _, jr = jax.jvp(lambda p: _resid_soa(camO, p, uvT), (ptO,), (tan,))
         jp_rows.append(jr)
-    freeO = freeT[:, obs_cam]                                 # (12, O)
+    if onehot_cam is not None:
+        freeO = freeT @ onehot_cam.T                          # (12, O)
+    else:
+        freeO = freeT[:, obs_cam]                             # (12, O)
     Jc = jnp.stack(jc_rows) * maskO * freeO[:, None, :]       # (12, 2, O)
     Jp = jnp.stack(jp_rows) * maskO                           # (3, 2, O)
 
@@ -319,20 +401,32 @@ def _blocks_soa(camT, ptsT, freeT, obs_cam, obs_pt, uvT, maskO,
 
 
 def _normal_blocks_lm(prob: BAProblem, camT, ptsT, freeT, uvT, maskO,
-                      w_idx, onehot_cam, huber_delta: float):
+                      w_idx, onehot_cam, huber_delta: float,
+                      block_dtype=None, p_idx=None, p_mask=None):
     """Damping-independent normal-equation pieces, SoA layout, built once
     per outer LM iteration. Scatter-free AND transpose-free:
 
     - camera-side reductions are (k, O) @ (O, C) one-hot MXU matmuls;
-    - the coupling W AND the point-side reductions come from ONE batched
-      gather through the host-precomputed sentinel (C, L) table, emitted
-      directly in (C, 12, 3, L) layout so the Schur product's (n, 3L)
-      operand is a free reshape.
+    - the coupling W comes from a batched gather through the
+      host-precomputed sentinel (C, L) table, emitted directly in
+      (C, 12, 3, L) layout (block_dtype — bf16 halves the gather bytes)
+      so the Schur product's (n, 3L) operand is a free reshape;
+    - the point-side Hpp/g_p reductions gather through the (L, M)
+      landmark-major table (L*M indices instead of C*L — at 100+ cameras
+      that is ~7x fewer) and stay f32: Hpp feeds a 3x3 inverse and g_p
+      is a gradient, where bf16 rounding measurably stalls convergence.
     """
     C = camT.shape[1]
     L = ptsT.shape[1]
     res, Jc, Jp = _blocks_soa(camT, ptsT, freeT, prob.obs_cam, prob.obs_pt,
-                              uvT, maskO, huber_delta)
+                              uvT, maskO, huber_delta, onehot_cam)
+    spec = str(block_dtype) if block_dtype is not None else "float32"
+    f32 = camT.dtype
+    # dtype spec: "float32" | "bfloat16" (everything) | "w16" (coupling
+    # only) | "hcc16" (camera Hessian only) — the split exists because
+    # each block's precision sensitivity was measured separately.
+    bd_w = jnp.bfloat16 if spec in ("bfloat16", "w16") else f32
+    bd_h = jnp.bfloat16 if spec in ("bfloat16", "hcc16") else f32
 
     # Tiny contractions over the residual axis (r=2) are written as
     # explicit broadcast products: einsum("iro,jro->ijo") lowers to a
@@ -341,12 +435,16 @@ def _normal_blocks_lm(prob: BAProblem, camT, ptsT, freeT, uvT, maskO,
     Jp0, Jp1 = Jp[:, 0], Jp[:, 1]                             # (3, O)
     jtr_c = Jc0 * res[0] + Jc1 * res[1]                       # (12, O)
     g_cT = jtr_c @ onehot_cam                                 # (12, C)
-    hcc_o = (Jc0[:, None] * Jc0[None] + Jc1[:, None] * Jc1[None])
-    H_cc = (hcc_o.reshape(144, -1) @ onehot_cam).reshape(12, 12, C)
+    # Products in f32 (VPU), ONE rounding on store — not bf16 x bf16.
+    hcc_o = (Jc0[:, None] * Jc0[None]
+             + Jc1[:, None] * Jc1[None]).astype(bd_h)
+    H_cc = jax.lax.dot(hcc_o.reshape(144, -1), onehot_cam.astype(bd_h),
+                       preferred_element_type=f32).reshape(12, 12, C)
     H_cc = H_cc.transpose(2, 0, 1)
 
     # Per-observation coupling blocks, (i, j) flattened: Y[(i,j), o].
-    Y = (Jc0[:, None] * Jp0[None] + Jc1[:, None] * Jp1[None]).reshape(36, -1)
+    Y = (Jc0[:, None] * Jp0[None]
+         + Jc1[:, None] * Jp1[None]).reshape(36, -1).astype(bd_w)
     hpp_o = (Jp0[:, None] * Jp0[None] + Jp1[:, None] * Jp1[None]).reshape(9, -1)
     gp_o = Jp0 * res[0] + Jp1 * res[1]                        # (3, O)
 
@@ -359,13 +457,24 @@ def _normal_blocks_lm(prob: BAProblem, camT, ptsT, freeT, uvT, maskO,
     # operand; rows 36:48 sum over C into H_pp (9, L) and g_p (3, L)
     # (each live (c, l) pair is exactly one observation, sentinel slots
     # are zero, so the camera-sum IS the per-landmark observation sum).
-    src = jnp.concatenate([Y, hpp_o, gp_o], axis=0)           # (48, O)
-    srcp = jnp.concatenate([src, jnp.zeros((48, 1), src.dtype)], axis=1)
-    G = jax.vmap(lambda idx: srcp[:, idx])(w_idx)             # (C, 48, L)
-    W = G[:, :36].reshape(C, 12, 3, L)
-    pt_sum = jnp.sum(G[:, 36:], axis=0)                       # (12, L)
-    H_ppL = pt_sum[:9]                                        # (9, L)
-    g_pL = pt_sum[9:]                                         # (3, L)
+    if p_idx is not None:
+        # -- coupling W: sentinel (C, L) gather, block dtype ----------
+        srcp = jnp.concatenate([Y, jnp.zeros((36, 1), Y.dtype)], axis=1)
+        G = jax.vmap(lambda idx: srcp[:, idx])(w_idx)         # (C, 36, L)
+        W = G.reshape(C, 12, 3, L)
+        # -- point side: (L, M) landmark-major gather, f32 ------------
+        srcP = jnp.concatenate([hpp_o, gp_o], axis=0)         # (12, O)
+        M = p_idx.shape[1]
+        P = srcP[:, p_idx.reshape(-1)].reshape(12, L, M)
+        pt_sum = jnp.sum(P * p_mask[None], axis=-1)           # (12, L)
+    else:
+        src = jnp.concatenate([Y.astype(f32), hpp_o, gp_o], axis=0)
+        srcp = jnp.concatenate([src, jnp.zeros((48, 1), src.dtype)], axis=1)
+        G = jax.vmap(lambda idx: srcp[:, idx])(w_idx)         # (C, 48, L)
+        W = G[:, :36].reshape(C, 12, 3, L).astype(bd_w)
+        pt_sum = jnp.sum(G[:, 36:], axis=0)
+    H_ppL = pt_sum[:9].astype(f32)                            # (9, L)
+    g_pL = pt_sum[9:].astype(f32)                             # (3, L)
     return g_cT, g_pL, H_cc, H_ppL, W
 
 
@@ -387,9 +496,18 @@ def _inv3x3_soa(h9):
     return jnp.stack([A, B, Cc, D, E, F, G, H, I]) / det
 
 
-def _damped_schur_step(cam_free, blocks, lam, damping: str):
+def _damped_schur_step(cam_free, blocks, lam, damping: str,
+                       precision: str = "highest"):
     """Damped Schur-complement solve from prebuilt SoA blocks:
-    returns (d_cam (C,12), d_ptT (3,L), predicted_reduction)."""
+    returns (d_cam (C,12), d_ptT (3,L), predicted_reduction).
+
+    ``precision`` controls the three W-sized MXU contractions (S product,
+    rhs matvec, back-substitution matvec): TPU f32 matmuls decompose into
+    bf16 passes, and the pass count is the single biggest step cost at
+    100+ cameras (measured 20.0/11.6/5.8 ms for highest/high/default at
+    C=112, L=49k). The Schur complement S = Hcc - W Hinv W^T cancels
+    heavily, so reduced pass counts must be validated against the
+    converged cost before use (bf16 STORAGE of W measurably stalls LM)."""
     g_cT, g_pL, H_cc, H_ppL, W = blocks
     C = g_cT.shape[1]
     L = g_pL.shape[1]
@@ -413,22 +531,31 @@ def _damped_schur_step(cam_free, blocks, lam, damping: str):
 
     # B = W Hpp^-1 in the same (C, 12, 3, L) layout — the j-contraction
     # unrolled as 3 broadcast FMAs over (C,12,L) planes (the einsum form
-    # lowers to batch-L micro-dots, measured ~6x slower).
-    B = (W[:, :, 0, None, :] * Hinv[0][None, None]
-         + W[:, :, 1, None, :] * Hinv[1][None, None]
-         + W[:, :, 2, None, :] * Hinv[2][None, None])
+    # lowers to batch-L micro-dots, measured ~6x slower). W may be bf16
+    # (block_dtype): B stays in that dtype and the two big contractions
+    # run bf16 x bf16 -> f32 on the MXU.
+    wd = W.dtype
+    Hinv_w = Hinv.astype(wd)
+    B = (W[:, :, 0, None, :] * Hinv_w[0][None, None]
+         + W[:, :, 1, None, :] * Hinv_w[1][None, None]
+         + W[:, :, 2, None, :] * Hinv_w[2][None, None])
     Wf = W.reshape(n, 3 * L)
     Bf = B.reshape(n, 3 * L)
 
-    S = -(Bf @ Wf.T)                                          # MXU
+    S = -jax.lax.dot(Bf, Wf.T, preferred_element_type=dtype,
+                     precision=precision)                     # MXU
     ci = jnp.arange(C)
     S = S.reshape(C, 12, C, 12).at[ci, :, ci, :].add(H_cc_d).reshape(n, n)
-    rhs = -(g_cT.T.reshape(-1) - Bf @ g_pL.reshape(-1))
+    rhs = -(g_cT.T.reshape(-1)
+            - jax.lax.dot(Bf, g_pL.reshape(-1).astype(wd),
+                          preferred_element_type=dtype, precision=precision))
     chol = jax.scipy.linalg.cho_factor(S)
     d_cam = jax.scipy.linalg.cho_solve(chol, rhs) * cam_free.reshape(-1)
 
     # Back-substitute points: dp = -Hpp^-1 (g_p + W^T dc)
-    Wt_dc = (d_cam @ Wf).reshape(3, L)
+    Wt_dc = jax.lax.dot(d_cam.astype(wd), Wf,
+                        preferred_element_type=dtype,
+                        precision=precision).reshape(3, L)
     t = g_pL + Wt_dc
     d_ptT = -(Hinv[:, 0] * t[0] + Hinv[:, 1] * t[1] + Hinv[:, 2] * t[2])
 
@@ -442,9 +569,11 @@ def _damped_schur_step(cam_free, blocks, lam, damping: str):
 
 
 def _cost_soa(camT, ptsT, uvT, maskO, obs_cam, obs_pt,
-              huber_delta: float) -> jnp.ndarray:
+              huber_delta: float, onehot_cam=None) -> jnp.ndarray:
     """SoA total cost — same semantics as ``_compute_cost``."""
-    res = _resid_soa(camT[:, obs_cam], ptsT[:, obs_pt], uvT) * maskO
+    camO = (camT @ onehot_cam.T) if onehot_cam is not None \
+        else camT[:, obs_cam]
+    res = _resid_soa(camO, ptsT[:, obs_pt], uvT) * maskO
     s = res[0] * res[0] + res[1] * res[1]
     if huber_delta > 0.0:
         d2 = huber_delta * huber_delta
@@ -454,12 +583,16 @@ def _cost_soa(camT, ptsT, uvT, maskO, obs_cam, obs_pt,
 
 @functools.partial(jax.jit, static_argnames=("max_iters", "max_retries",
                                              "huber_delta", "damping",
-                                             "schedule"))
+                                             "schedule", "block_dtype",
+                                             "schur_precision"))
 def _solve_landmark_major(prob: BAProblem, w_idx,
                           max_iters: int, init_lambda, lambda_up,
                           lambda_down, ftol, focal_upper_bound,
                           max_retries: int, huber_delta: float,
-                          damping: str, schedule: str) -> BAResult:
+                          damping: str, schedule: str,
+                          block_dtype: str = "float32",
+                          p_idx=None, p_mask=None,
+                          schur_precision: str = "highest") -> BAResult:
     C = prob.cam_params.shape[0]
     dtype = prob.cam_params.dtype
     cam_ids = jnp.arange(C, dtype=prob.obs_cam.dtype)
@@ -476,7 +609,7 @@ def _solve_landmark_major(prob: BAProblem, w_idx,
 
     def cost_of(camT, ptsT):
         return _cost_soa(camT, ptsT, uvT, maskO, prob.obs_cam,
-                         prob.obs_pt, huber_delta)
+                         prob.obs_pt, huber_delta, onehot_cam)
 
     cost0 = cost_of(camT0, ptsT0)
 
@@ -487,7 +620,9 @@ def _solve_landmark_major(prob: BAProblem, w_idx,
     def body(state):
         cam, pts, lam, cost, it, done, trace = state
         blocks = _normal_blocks_lm(prob, cam, pts, freeT, uvT, maskO,
-                                   w_idx, onehot_cam, huber_delta)
+                                   w_idx, onehot_cam, huber_delta,
+                                   block_dtype=block_dtype, p_idx=p_idx,
+                                   p_mask=p_mask)
 
         def retry_cond(s):
             tries, lam_i, nu, accepted, *_ = s
@@ -496,7 +631,8 @@ def _solve_landmark_major(prob: BAProblem, w_idx,
         def retry_body(s):
             tries, lam_i, nu, accepted, best_cam, best_pts, best_cost, lam_next = s
             d_cam, d_ptT, pred = _damped_schur_step(prob.cam_free, blocks,
-                                                    lam_i, damping)
+                                                    lam_i, damping,
+                                                    schur_precision)
             cam_new = (cam + d_cam.T).at[6:8].min(focal_upper_bound)
             pts_new = pts + d_ptT
             new_cost = cost_of(cam_new, pts_new)
@@ -553,9 +689,11 @@ def _solve_landmark_major(prob: BAProblem, w_idx,
 
 def solve(prob: BAProblem, max_iters: int = 50, init_lambda: float = 1e-3,
           lambda_up: float = 4.0, lambda_down: float = 2.0,
-          ftol: float = 1e-8, focal_upper_bound: float = 1000.0,
-          max_retries: int = 5, huber_delta: float = 0.0,
-          damping: str = "marquardt", schedule: str = "nielsen") -> BAResult:
+          ftol: float = 1e-6, focal_upper_bound: float = 1000.0,
+          max_retries: int = 1, huber_delta: float = 0.0,
+          damping: str = "marquardt", schedule: str = "nielsen",
+          compact: bool = True, block_dtype: str = "float32",
+          schur_precision: str = "high") -> BAResult:
     """Run damped LM to convergence (or max_iters) fully on device.
 
     Classic two-level structure: the Jacobian/normal blocks are built once
@@ -563,29 +701,92 @@ def solve(prob: BAProblem, max_iters: int = 50, init_lambda: float = 1e-3,
     damping with only the (cheap) Schur solve + cost evaluation until a
     step is accepted.
 
-    The landmark-major gather layout is built host-side here (one
-    argsort over the observation table per call — microseconds next to
-    the solve) and fed to the jitted core; its M dimension is bucketed
-    to powers of two so shapes stay stable as tracks grow.
+    ``compact=True`` strips masked observations / dead landmarks host-side
+    and re-pads to {1,1.5}*2^k buckets before solving (the incremental
+    pipeline's capacity-doubled buffers otherwise make every kernel pay
+    2-3x dead work); results are scattered back to the caller's shapes.
+    ``block_dtype`` controls Gauss-Newton block storage and stays
+    ``'float32'``: every reduced-precision storage variant measurably
+    hurts some problem (``'w16'``/``'bfloat16'`` stall the 100-camera
+    problem at cost 34846 vs 32094; ``'hcc16'`` is parity there but
+    diverges on ill-conditioned synthetic problems). The MXU passes are
+    instead controlled by ``schur_precision``: ``'high'`` (bf16x3) is
+    converged-cost parity on both benchmark problems and ~1.7x faster
+    than ``'highest'`` at 100 cameras; ``'default'`` (bf16x1) stalls.
+    ``max_retries=1`` makes every damped trial its own outer iteration
+    (Ceres counts unsuccessful steps as iterations too) — rejected
+    trials just escalate lambda via the Nielsen nu schedule.
+
+    The gather layouts (sentinel coupling table + landmark-major point
+    table) are built host-side (one pass over the observation table per
+    call — microseconds next to the solve) and fed to the jitted core.
+
+    ``ftol`` default matches Ceres's function_tolerance default (1e-6),
+    which the reference inherits (BundleAdjuster.cpp:131-142 sets only
+    max_num_iterations / num_threads / DENSE_SCHUR).
     """
     key = (id(prob.obs_pt), id(prob.obs_cam), id(prob.obs_mask),
+           bool(compact),
            prob.cam_params.shape[0], prob.points.shape[0])
     cached = _LAYOUT_CACHE.get(key)
     if cached is None:
+        if compact:
+            cprob, used, used_cams, _ = compact_problem(prob)
+        else:
+            cprob, used, used_cams = prob, None, None
         w_idx = coupling_gather_table(
-            prob.obs_pt, prob.obs_cam, prob.obs_mask,
-            prob.cam_params.shape[0], prob.points.shape[0])
-        cached = (jnp.asarray(w_idx),
+            cprob.obs_pt, cprob.obs_cam, cprob.obs_mask,
+            cprob.cam_params.shape[0], cprob.points.shape[0])
+        p_idx, _, p_mask = landmark_major_layout(
+            cprob.obs_pt, cprob.obs_cam, cprob.obs_mask,
+            cprob.points.shape[0])
+        # Gathers are index-rate bound (~3 ns/idx), so the point-side
+        # reductions ride the coupling gather (48 rows, one index set)
+        # unless the (L, M) table is genuinely smaller than (C, L) —
+        # which it is once C reaches the many-dozens regime.
+        CL = w_idx.size
+        if p_idx.size >= 0.7 * CL:
+            p_idx = p_mask = None
+        cached = (jnp.asarray(w_idx), cprob, used,
+                  None if p_idx is None else jnp.asarray(p_idx),
+                  None if p_mask is None else jnp.asarray(p_mask),
+                  jnp.asarray(used) if used is not None else None,
+                  used_cams,
+                  jnp.asarray(used_cams) if used_cams is not None else None,
                   # hold references so id()s can't be recycled
                   prob.obs_pt, prob.obs_cam, prob.obs_mask)
         if len(_LAYOUT_CACHE) > 8:
             _LAYOUT_CACHE.clear()
         _LAYOUT_CACHE[key] = cached
-    w_idx = cached[0]
-    return _solve_landmark_major(
-        prob, w_idx,
+    (w_idx, cprob, used, p_idx, p_mask, used_dev,
+     used_cams, used_cams_dev) = cached[:8]
+    if compact:
+        # points/cameras are re-sliced from the CALLER's arrays each call:
+        # only the observation structure (and hence the layout) is cached.
+        L_c = cprob.points.shape[0]
+        C_c = cprob.cam_params.shape[0]
+        pts_c = jnp.zeros((L_c, 3), prob.points.dtype)
+        pts_c = pts_c.at[:used.size].set(prob.points[used_dev])
+        cams_c = jnp.zeros((C_c, 12), prob.cam_params.dtype)
+        cams_c = cams_c.at[:used_cams.size].set(
+            prob.cam_params[used_cams_dev])
+        sprob = cprob._replace(cam_params=cams_c, points=pts_c)
+    else:
+        sprob = prob
+    result = _solve_landmark_major(
+        sprob, w_idx,
         max_iters, init_lambda, lambda_up, lambda_down, ftol,
-        focal_upper_bound, max_retries, huber_delta, damping, schedule)
+        focal_upper_bound, max_retries, huber_delta, damping, schedule,
+        block_dtype, p_idx, p_mask, schur_precision)
+    if used is None:
+        return result
+    import numpy as np
+    pts = np.asarray(prob.points).copy()
+    pts[used] = np.asarray(result.points)[:used.size]
+    cams = np.asarray(prob.cam_params).copy()
+    cams[used_cams] = np.asarray(result.cam_params)[:used_cams.size]
+    return result._replace(points=jnp.asarray(pts),
+                           cam_params=jnp.asarray(cams))
 
 
 # Re-solves of an unchanged observation structure (retry rounds, warm

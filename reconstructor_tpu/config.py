@@ -122,7 +122,9 @@ class ReconstructorConfig:
     ba_init_lambda: float = 1e-3
     ba_lambda_up: float = 4.0
     ba_lambda_down: float = 2.0
-    ba_ftol: float = 1e-8
+    # Ceres function_tolerance default (the reference sets no tolerance,
+    # BundleAdjuster.cpp:131-142, so it inherits 1e-6)
+    ba_ftol: float = 1e-6
     # LM damping: "marquardt" = lambda * clip(diag(H)) (Ceres-style,
     # scale-aware — the problem mixes focal px with radians); "levenberg"
     # = lambda * I (what the reference's plain-Ceres defaults resolve to

@@ -8,11 +8,17 @@ lever is ``jax.experimental.serialize_executable``: serialize the
 compiled executable itself and reload it in later processes, skipping
 XLA (and the relay) entirely.
 
-Opt-in via ``RECON_AOT_CACHE=<dir>`` — deserialization on an exotic PJRT
-plugin is exactly the kind of path that can misbehave, so nothing here
-runs unless explicitly requested, and every cache interaction falls back
-to the plain jitted call on any error. ``scripts/probe_aot.py`` answers
+ON BY DEFAULT (r4): the cache dir is ``RECON_AOT_CACHE`` if set, else
+``~/.cache/reconstructor_tpu/aot``; set ``RECON_AOT_CACHE=off`` (or
+``0``/empty) to disable. Every cache interaction falls back to the
+plain jitted call on any error. ``scripts/probe_aot.py`` answers
 whether the backend supports the mechanism at all.
+
+Staleness safety: the cache key folds in a fingerprint of the LOWERED
+program (``jitted.lower(...).as_text()``), so any code edit reachable
+from a cached function changes the key and recompiles. Lowering is
+local tracing only — it never touches the remote-compile relay, so the
+cold-start win is preserved (lowering is ~100 ms vs ~20-40 s compiles).
 
 Capability parity note: the reference has no cold-start problem to solve
 (C++ AOT by construction); this is the TPU-native equivalent of shipping
@@ -30,7 +36,13 @@ _MISS = object()          # tombstone: load failed once, don't retry
 
 
 def cache_dir() -> str:
-    return os.environ.get("RECON_AOT_CACHE", "")
+    v = os.environ.get("RECON_AOT_CACHE")
+    if v is None:
+        return os.path.join(os.path.expanduser("~"), ".cache",
+                            "reconstructor_tpu", "aot")
+    if v.strip().lower() in ("", "0", "off", "none", "disable", "disabled"):
+        return ""
+    return v
 
 
 def _key(name: str, args, statics) -> str:
@@ -61,26 +73,38 @@ def call(name: str, jitted, *args, **statics):
     if not d:
         return jitted(*args, **statics)
     try:
-        key = _key(name, args, statics)
+        prekey = _key(name, args, statics)
     except Exception:
         return jitted(*args, **statics)
-    exe = _mem.get(key)
+    exe = _mem.get(prekey)
     if exe is _MISS:
         return jitted(*args, **statics)
     if exe is None:
+        try:
+            # Lower locally (no relay) and fingerprint the actual program
+            # text: a stale on-disk executable can never be served after
+            # a code change (ADVICE r3: the shape-only key silently served
+            # stale binaries).
+            lowered = jitted.lower(*args, **statics)
+            fp = hashlib.sha256(
+                lowered.as_text().encode()).hexdigest()[:16]
+        except Exception:
+            _mem[prekey] = _MISS
+            return jitted(*args, **statics)
+        key = f"{prekey}-{fp}"
         exe = _load(d, key)
         if exe is None:
             try:
-                exe = jitted.lower(*args, **statics).compile()
+                exe = lowered.compile()
                 _store(d, key, exe)
             except Exception:
-                _mem[key] = _MISS
+                _mem[prekey] = _MISS
                 return jitted(*args, **statics)
-        _mem[key] = exe
+        _mem[prekey] = exe
     try:
         return exe(*args)
     except Exception:
-        _mem[key] = _MISS
+        _mem[prekey] = _MISS
         return jitted(*args, **statics)
 
 

@@ -198,7 +198,12 @@ def main():
             for kk, v in layer.items():
                 flat[f"{name}.{kk}"] = np.asarray(v).astype(np.float16)
         os.makedirs(os.path.dirname(args.out), exist_ok=True)
-        np.savez_compressed(args.out, **flat)
+        # atomic: a kill mid-write (the scenario autosave guards against)
+        # must never truncate the only checkpoint (ADVICE r3)
+        tmp = args.out + f".tmp{os.getpid()}"
+        np.savez_compressed(tmp, **flat)
+        src = tmp if os.path.exists(tmp) else tmp + ".npz"
+        os.replace(src, args.out)
 
     sched = optax.warmup_cosine_decay_schedule(
         0.0, args.lr, warmup_steps=min(100, args.steps // 10),

@@ -1,129 +1,153 @@
-"""Per-stage profile of the landmark-major BA solver on the live device.
+"""Profile ba/lm.py sub-pieces on the exported fountain problem (real TPU).
 
-Times each jitted sub-program (blocks build, damped Schur step, cost
-eval) separately at fountain-25 shapes, to find where the per-iteration
-milliseconds go.
-
-Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/profile_ba.py
+Times, per call: full solve iteration, blocks build, damped Schur step,
+cost eval, and the inner pieces of the blocks build (jvp Jacobians,
+one-hot camera reductions, sentinel gather).
 """
-
-import os
-import sys
 import time
-import functools
-
 import numpy as np
+import jax
+import jax.numpy as jnp
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-from exp_ba import make_problem  # noqa: E402
-
-
-def timeit(fn, *a, repeat=10, **kw):
-    out = fn(*a, **kw)
-    jax_flatten_to_host(out)
-    best = float("inf")
-    for _ in range(repeat):
-        t0 = time.time()
-        out = fn(*a, **kw)
-        jax_flatten_to_host(out)
-        best = min(best, time.time() - t0)
-    return out, best
+from reconstructor_tpu.ba import lm
 
 
-def jax_flatten_to_host(x):
-    import jax
-    for leaf in jax.tree_util.tree_leaves(x):
-        np.asarray(leaf).ravel()[:1]
+def timeit(fn, *args, reps=20, warmup=2):
+    for _ in range(warmup):
+        r = fn(*args)
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        r = fn(*args)
+    jax.block_until_ready(r)
+    return (time.perf_counter() - t0) / reps
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
-    from reconstructor_tpu.ba import lm
+def load(path):
+    d = np.load(path)
+    return lm.BAProblem(
+        cam_params=jnp.asarray(d["cam_params"]),
+        points=jnp.asarray(d["points"]),
+        obs_cam=jnp.asarray(d["obs_cam"]),
+        obs_pt=jnp.asarray(d["obs_pt"]),
+        obs_uv=jnp.asarray(d["obs_uv"]),
+        obs_mask=jnp.asarray(d["obs_mask"]),
+        cam_free=jnp.asarray(d["cam_free"]),
+    )
 
-    print("device:", jax.devices()[0], file=sys.stderr)
-    rng = np.random.default_rng(0)
-    prob, O = make_problem(rng, 25, 11000, None, C_pad=32, L_pad=16384)
+
+def profile(prob, tag):
     C = prob.cam_params.shape[0]
+    L = prob.points.shape[0]
+    O = prob.obs_cam.shape[0]
+    nlive = int(np.asarray(prob.obs_mask).sum())
+    npts = int(np.unique(np.asarray(prob.obs_pt)[np.asarray(prob.obs_mask)]).size)
+    print(f"== {tag}: C={C} L={L} (live {npts}) O={O} (live {nlive})")
 
-    p_idx, p_cam, p_mask = lm.landmark_major_layout(
-        prob.obs_pt, prob.obs_cam, prob.obs_mask, prob.points.shape[0])
-    p_idx, p_cam, p_mask = map(jnp.asarray, (p_idx, p_cam, p_mask))
-    print(f"shapes: C={C} L={prob.points.shape[0]} O={prob.obs_cam.shape[0]} "
-          f"M={p_idx.shape[1]}", file=sys.stderr)
+    w_idx = jnp.asarray(lm.coupling_gather_table(
+        prob.obs_pt, prob.obs_cam, prob.obs_mask, C, L))
 
-    cam_ids = jnp.arange(C, dtype=p_cam.dtype)
+    dtype = prob.cam_params.dtype
+    cam_ids = jnp.arange(C, dtype=prob.obs_cam.dtype)
     onehot_cam = ((prob.obs_cam[:, None] == cam_ids)
-                  & prob.obs_mask[:, None]).astype(jnp.float32)
-    onehot_pc = (p_cam[..., None] == cam_ids).astype(jnp.float32) * p_mask[..., None]
+                  & prob.obs_mask[:, None]).astype(dtype)
+    uvT = prob.obs_uv.T
+    maskO = prob.obs_mask.astype(dtype)[None, :]
+    freeT = prob.cam_free.T
+    camT = prob.cam_params.T
+    ptsT = prob.points.T
 
-    blocks_fn = jax.jit(functools.partial(
-        lm._normal_blocks_lm, huber_delta=0.0))
-    step_fn = jax.jit(functools.partial(lm._damped_schur_step,
-                                        damping="marquardt"))
-    cost_fn = jax.jit(functools.partial(lm._compute_cost, huber_delta=0.0))
-    jac_fn = jax.jit(functools.partial(lm._build_blocks, huber_delta=0.0))
+    # full solve, fixed 20 iters (no early exit -> clean per-iter time)
+    @jax.jit
+    def full():
+        return lm._solve_landmark_major(
+            prob, w_idx, 20, 1e-3, 4.0, 2.0, 0.0, 1000.0, 5, 0.0,
+            "marquardt", "nielsen")
+    t = timeit(full, reps=3)
+    print(f"  full 20-iter solve: {t*1e3:8.2f} ms -> {t/20*1e3:6.2f} ms/iter")
 
-    lam = jnp.asarray(1e-3, jnp.float32)
+    blocks_j = jax.jit(lambda c, p: lm._normal_blocks_lm(
+        prob, c, p, freeT, uvT, maskO, w_idx, onehot_cam, 0.0))
+    t_blocks = timeit(blocks_j, camT, ptsT)
+    print(f"  blocks build:       {t_blocks*1e3:8.2f} ms")
 
-    _, t_jac = timeit(jac_fn, prob, prob.cam_params, prob.points)
-    blocks, t_blocks = timeit(blocks_fn, prob, prob.cam_params, prob.points,
-                              p_idx, p_mask, onehot_cam, onehot_pc)
-    _, t_step = timeit(step_fn, prob, blocks, lam)
-    _, t_cost = timeit(cost_fn, prob, prob.cam_params, prob.points)
+    blocks = jax.jit(lambda c, p: lm._normal_blocks_lm(
+        prob, c, p, freeT, uvT, maskO, w_idx, onehot_cam, 0.0))(camT, ptsT)
+    blocks = jax.tree.map(jnp.asarray, blocks)
+    step_j = jax.jit(lambda b, lam: lm._damped_schur_step(
+        prob.cam_free, b, lam, "marquardt"))
+    t_step = timeit(step_j, blocks, jnp.asarray(1e-3, dtype))
+    print(f"  damped schur step:  {t_step*1e3:8.2f} ms")
 
-    print(f"jacobians (_build_blocks)        : {t_jac*1e3:8.2f} ms", file=sys.stderr)
-    print(f"normal blocks (incl. jacobians)  : {t_blocks*1e3:8.2f} ms", file=sys.stderr)
-    print(f"damped schur step                : {t_step*1e3:8.2f} ms", file=sys.stderr)
-    print(f"cost eval                        : {t_cost*1e3:8.2f} ms", file=sys.stderr)
+    cost_j = jax.jit(lambda c, p: lm._cost_soa(
+        c, p, uvT, maskO, prob.obs_cam, prob.obs_pt, 0.0))
+    t_cost = timeit(cost_j, camT, ptsT)
+    print(f"  cost eval:          {t_cost*1e3:8.2f} ms")
 
-    # decompose the blocks build further
-    def blocks_no_w(prob_, cam, pts):
-        res, Jc, Jp = lm._build_blocks(prob_, cam, pts, 0.0)
-        g_c = onehot_cam.T @ jnp.einsum("ori,or->oi", Jc, res)
-        H_cc = (onehot_cam.T @ jnp.einsum("ori,orj->oij", Jc, Jc).reshape(-1, 144)).reshape(C, 12, 12)
-        A = jnp.einsum("ori,orj->oij", Jc, Jp)
-        HppO = jnp.einsum("ori,orj->oij", Jp, Jp)
-        gpO = jnp.einsum("ori,or->oi", Jp, res)
-        pmm = p_mask[..., None, None]
-        Ag = A[p_idx] * pmm
-        H_pp = jnp.sum(HppO[p_idx] * pmm, axis=1)
-        g_p = jnp.sum(gpO[p_idx] * p_mask[..., None], axis=1)
-        return g_c, H_cc, Ag, H_pp, g_p
+    # --- blocks internals ---
+    bs_j = jax.jit(lambda c, p: lm._blocks_soa(
+        c, p, freeT, prob.obs_cam, prob.obs_pt, uvT, maskO, 0.0))
+    t_bs = timeit(bs_j, camT, ptsT)
+    print(f"    jacobian stacks:  {t_bs*1e3:8.2f} ms")
 
-    _, t_now = timeit(jax.jit(blocks_no_w), prob, prob.cam_params, prob.points)
-    print(f"  blocks w/o W einsum            : {t_now*1e3:8.2f} ms", file=sys.stderr)
+    res, Jc, Jp = jax.tree.map(jnp.asarray, bs_j(camT, ptsT))
 
-    # decompose the step further
-    g_c, g_p, H_cc, H_pp, Wt3 = blocks
-    n = C * 12
-    L = g_p.shape[0]
+    def camside(res, Jc):
+        Jc0, Jc1 = Jc[:, 0], Jc[:, 1]
+        jtr_c = Jc0 * res[0] + Jc1 * res[1]
+        g_cT = jtr_c @ onehot_cam
+        hcc_o = (Jc0[:, None] * Jc0[None] + Jc1[:, None] * Jc1[None])
+        H_cc = (hcc_o.reshape(144, -1) @ onehot_cam).reshape(12, 12, C)
+        return g_cT, H_cc
+    t_cam = timeit(jax.jit(camside), res, Jc)
+    print(f"    cam-side onehot:  {t_cam*1e3:8.2f} ms")
 
-    def step_schur_only(Wt3_, Hpp_inv):
-        Bt = jnp.einsum("alj,ljk->alk", Wt3_, Hpp_inv)
-        Bf = Bt.reshape(n, L * 3)
-        Wf = Wt3_.reshape(n, L * 3)
+    def gather(res, Jc, Jp):
+        Jc0, Jc1 = Jc[:, 0], Jc[:, 1]
+        Jp0, Jp1 = Jp[:, 0], Jp[:, 1]
+        Y = (Jc0[:, None] * Jp0[None] + Jc1[:, None] * Jp1[None]).reshape(36, -1)
+        hpp_o = (Jp0[:, None] * Jp0[None] + Jp1[:, None] * Jp1[None]).reshape(9, -1)
+        gp_o = Jp0 * res[0] + Jp1 * res[1]
+        src = jnp.concatenate([Y, hpp_o, gp_o], axis=0)
+        srcp = jnp.concatenate([src, jnp.zeros((48, 1), src.dtype)], axis=1)
+        G = jax.vmap(lambda idx: srcp[:, idx])(w_idx)
+        return G
+    t_g = timeit(jax.jit(gather), res, Jc, Jp)
+    print(f"    sentinel gather:  {t_g*1e3:8.2f} ms")
+
+    # --- step internals ---
+    g_cT, g_pL, H_cc, H_ppL, W = blocks
+
+    def schur_mm(W, Hinv):
+        B = (W[:, :, 0, None, :] * Hinv[0][None, None]
+             + W[:, :, 1, None, :] * Hinv[1][None, None]
+             + W[:, :, 2, None, :] * Hinv[2][None, None])
+        n = C * 12
+        Wf = W.reshape(n, 3 * L)
+        Bf = B.reshape(n, 3 * L)
         return Bf @ Wf.T
+    Hinv = jnp.asarray(lm._inv3x3_soa(H_ppL).reshape(3, 3, L))
+    t_mm = timeit(jax.jit(schur_mm), W, Hinv)
+    print(f"    B build+S matmul: {t_mm*1e3:8.2f} ms")
 
-    def inv_only(H_pp_):
-        dp = jnp.clip(jnp.diagonal(H_pp_, axis1=1, axis2=2), 1e-6, 1e32)
-        return lm._inv3x3(H_pp_ + (1e-3 * dp + 1e-8)[:, :, None] * jnp.eye(3))
-
-    Hpp_inv, t_inv = timeit(jax.jit(inv_only), H_pp)
-    _, t_schur = timeit(jax.jit(step_schur_only), Wt3, Hpp_inv)
-    print(f"  3x3 adjugate inverses          : {t_inv*1e3:8.2f} ms", file=sys.stderr)
-    print(f"  B=W Hppinv + S matmul          : {t_schur*1e3:8.2f} ms", file=sys.stderr)
-
-    def chol_solve(S, rhs):
-        chol = jax.scipy.linalg.cho_factor(S)
-        return jax.scipy.linalg.cho_solve(chol, rhs)
-
-    S = np.eye(n, dtype=np.float32) * 100 + rng.normal(0, 0.1, (n, n)).astype(np.float32)
-    S = jnp.asarray(S @ S.T)
-    rhs = jnp.asarray(rng.normal(0, 1, n).astype(np.float32))
-    _, t_chol = timeit(jax.jit(chol_solve), S, rhs)
-    print(f"  cholesky factor+solve ({n})    : {t_chol*1e3:8.2f} ms", file=sys.stderr)
+    def chol(S, rhs):
+        c = jax.scipy.linalg.cho_factor(S)
+        return jax.scipy.linalg.cho_solve(c, rhs)
+    n = C * 12
+    S = jnp.eye(n) * 100.0
+    rhs = jnp.ones((n,))
+    t_ch = timeit(jax.jit(chol), S, rhs)
+    print(f"    cholesky {n}x{n}: {t_ch*1e3:8.2f} ms")
 
 
 if __name__ == "__main__":
-    main()
+    print("device:", jax.devices()[0].device_kind)
+    prob = load("out/ba_problem_final.npz")
+    profile(prob, "fountain (padded)")
+
+    # large synthetic, same generator as bench ba_large
+    from scripts import exp_ba
+    rng = np.random.default_rng(0)
+    lprob, lO = exp_ba.make_problem(rng, 100, 40000, None,
+                                    C_pad=112, L_pad=49152)
+    profile(lprob, "large")
