@@ -242,23 +242,27 @@ def coupling_gather_table(obs_pt, obs_cam, obs_mask, num_cams: int,
     return w_idx
 
 
-def _bucket(n: int) -> int:
-    """Size bucket {1, 1.25, 1.5, 1.75} * 2^k >= n (min 256): tight
+def _bucket(n: int, steps: int = 4) -> int:
+    """Size bucket >= n with ``steps`` subdivisions per power-of-two
+    octave (min 256): steps=4 gives {1, 1.25, 1.5, 1.75} * 2^k — tight
     enough to strip the capacity-doubling padding the pipeline's sticky
     caps leave on the problem (the r3 bench solved L=32768 for 10.8k
-    live landmarks), coarse enough that a growing reconstruction
-    recompiles only log-many times (<= 4 shapes per octave)."""
+    live landmarks). The incremental pipeline passes steps=1 (pure
+    powers of two): its live sizes change EVERY view and each distinct
+    bucket is a fresh ~30-60 s compile through the remote relay."""
     if n <= 256:
         return 256
     p = 1 << (n - 1).bit_length()
-    for num in (5, 6, 7):
-        cand = (p // 8) * num
-        if n <= cand:
-            return cand
+    if steps > 1:
+        base = p // (2 * steps)
+        for num in range(steps + 1, 2 * steps):
+            cand = base * num
+            if n <= cand:
+                return cand
     return p
 
 
-def compact_problem(prob: BAProblem):
+def compact_problem(prob: BAProblem, bucket_steps: int = 4):
     """Host-side compaction: drop masked observations, landmarks with no
     live observation AND cameras with no live observation, bucket the
     trailing pads, and return (compact_problem, used_landmarks,
@@ -279,8 +283,8 @@ def compact_problem(prob: BAProblem):
     uv = np.asarray(prob.obs_uv)[live]
     used = np.unique(op)                       # sorted landmark ids
     used_cams = np.unique(oc)                  # sorted camera ids
-    L_c = _bucket(max(int(used.size), 1))
-    O_c = _bucket(max(int(live.size), 1))
+    L_c = _bucket(max(int(used.size), 1), bucket_steps)
+    O_c = _bucket(max(int(live.size), 1), bucket_steps)
     C_c = min(prob.cam_params.shape[0],
               max(16, -(-int(used_cams.size) // 16) * 16))
     remap = np.zeros(prob.points.shape[0], np.int32)
@@ -693,7 +697,8 @@ def solve(prob: BAProblem, max_iters: int = 50, init_lambda: float = 1e-3,
           max_retries: int = 1, huber_delta: float = 0.0,
           damping: str = "marquardt", schedule: str = "nielsen",
           compact: bool = True, block_dtype: str = "float32",
-          schur_precision: str = "high") -> BAResult:
+          schur_precision: str = "high",
+          bucket_steps: int = 4) -> BAResult:
     """Run damped LM to convergence (or max_iters) fully on device.
 
     Classic two-level structure: the Jacobian/normal blocks are built once
@@ -726,12 +731,12 @@ def solve(prob: BAProblem, max_iters: int = 50, init_lambda: float = 1e-3,
     max_num_iterations / num_threads / DENSE_SCHUR).
     """
     key = (id(prob.obs_pt), id(prob.obs_cam), id(prob.obs_mask),
-           bool(compact),
+           bool(compact), int(bucket_steps),
            prob.cam_params.shape[0], prob.points.shape[0])
     cached = _LAYOUT_CACHE.get(key)
     if cached is None:
         if compact:
-            cprob, used, used_cams, _ = compact_problem(prob)
+            cprob, used, used_cams, _ = compact_problem(prob, bucket_steps)
         else:
             cprob, used, used_cams = prob, None, None
         w_idx = coupling_gather_table(

@@ -573,19 +573,35 @@ class IncrementalReconstructor:
         score = jnp.asarray(state.kp_score)
         kmask = jnp.asarray(state.kp_mask)
         shapes = jnp.asarray(state.shapes)
+        platform = (self.mesh.devices.flat[0].platform
+                    if self.mesh is not None else jax.devices()[0].platform)
         use_pallas = (cfg.superglue_use_pallas_sinkhorn
-                      and jax.devices()[0].platform not in ("cpu",))
+                      and platform not in ("cpu",))
         B = cfg.superglue_chunk_pairs
+        if self.mesh is not None:
+            # pair axis shards over the mesh (VERDICT r3 #6) — same data
+            # parallelism as the kNN path; chunks pad to the mesh size
+            B = _round_up(B, int(self.mesh.devices.size))
         futures = []
         for s0 in range(0, P, B):
             e = min(s0 + B, P)
             chunk = np.zeros((B, 2), np.int32)
             chunk[: e - s0] = pair_idx[s0:e]
-            futures.append((s0, e, sg.match_pairs_batched(
-                params, desc, xy, score, kmask, shapes, jnp.asarray(chunk),
-                sinkhorn_iters=cfg.superglue_sinkhorn_iters,
-                score_thresh=cfg.superglue_score_thresh,
-                use_pallas=use_pallas)))
+            if self.mesh is not None:
+                from reconstructor_tpu.parallel import sharding
+                futures.append((s0, e, sharding.match_superglue_sharded(
+                    self.mesh, params, desc, xy, score, kmask, shapes,
+                    jnp.asarray(chunk),
+                    sinkhorn_iters=cfg.superglue_sinkhorn_iters,
+                    score_thresh=cfg.superglue_score_thresh,
+                    use_pallas=use_pallas)))
+            else:
+                futures.append((s0, e, sg.match_pairs_batched(
+                    params, desc, xy, score, kmask, shapes,
+                    jnp.asarray(chunk),
+                    sinkhorn_iters=cfg.superglue_sinkhorn_iters,
+                    score_thresh=cfg.superglue_score_thresh,
+                    use_pallas=use_pallas)))
         for s0, e, (idx, ok, _) in futures:
             midx[s0:e] = np.asarray(idx)[: e - s0]
             mmask[s0:e] = np.asarray(ok)[: e - s0]
@@ -1184,7 +1200,9 @@ class IncrementalReconstructor:
             from reconstructor_tpu.ba import distributed
             result = distributed.solve_pcg(prob, **common)
         else:
-            result = ba_lm.solve(prob, **common)
+            # pow2 compaction buckets: live sizes change every view, and
+            # each distinct bucket is a fresh remote-relay compile
+            result = ba_lm.solve(prob, bucket_steps=1, **common)
         self._log(f"BA: cost {float(result.cost_initial):.1f} -> "
                   f"{float(result.cost_final):.1f} in {int(result.iterations)} iters")
 

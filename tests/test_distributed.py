@@ -122,3 +122,40 @@ class TestShardedMatchAndGate:
             jnp.asarray(chunk), keys, **kw)
         np.testing.assert_array_equal(np.asarray(sh_idx), np.asarray(ref_idx))
         np.testing.assert_array_equal(np.asarray(sh_cnt), np.asarray(ref_cnt))
+
+
+class TestShardedSuperGlue:
+    def test_superglue_matches_equal_single_device(self, mesh):
+        """shard_map SuperGlue == plain chunked dispatch (VERDICT r3 #6:
+        the reference's OpenMP pair loop covers SuperGlue too,
+        SequentialReconstructor.cpp:202)."""
+        import jax
+        import jax.numpy as jnp
+        from reconstructor_tpu.matching import pairs
+        from reconstructor_tpu.matching import superglue as sg
+
+        rng = np.random.default_rng(5)
+        n_img, K, D = 6, 32, 256
+        desc = rng.standard_normal((n_img, K, D)).astype(np.float32)
+        desc /= np.linalg.norm(desc, axis=-1, keepdims=True)
+        xy = rng.uniform(0, 256, (n_img, K, 2)).astype(np.float32)
+        score = rng.uniform(0.2, 1.0, (n_img, K)).astype(np.float32)
+        kmask = np.ones((n_img, K), bool)
+        shapes = np.full((n_img, 2), 256, np.int32)
+        params = sg.structured_identity_params()
+        p = pairs.exhaustive_pairs(n_img)
+        B = ((p.shape[0] + 7) // 8) * 8
+        chunk = np.zeros((B, 2), np.int32)
+        chunk[: p.shape[0]] = p
+        args = (jnp.asarray(desc), jnp.asarray(xy), jnp.asarray(score),
+                jnp.asarray(kmask), jnp.asarray(shapes), jnp.asarray(chunk))
+        ref_idx, ref_ok, ref_sc = sg.match_pairs_batched(
+            params, *args, sinkhorn_iters=10, score_thresh=0.2,
+            use_pallas=False)
+        sh_idx, sh_ok, sh_sc = sharding.match_superglue_sharded(
+            mesh, params, *args, sinkhorn_iters=10, score_thresh=0.2,
+            use_pallas=False)
+        np.testing.assert_array_equal(np.asarray(sh_idx), np.asarray(ref_idx))
+        np.testing.assert_array_equal(np.asarray(sh_ok), np.asarray(ref_ok))
+        np.testing.assert_allclose(np.asarray(sh_sc), np.asarray(ref_sc),
+                                   atol=1e-5)
