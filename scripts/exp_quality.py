@@ -43,6 +43,13 @@ def main():
         "default_bf16_matching": {"knn_compute_dtype": "bfloat16"},
         "local_iters50": {"ba_local_max_iters": 50},
         "noretri": {"final_retriangulate": False},
+        # r4 ATE push (VERDICT r3 #4): convergence depth + robustifier
+        "ftol8": {"ba_ftol": 1e-8},
+        "final6": {"final_refinement_rounds": 6},
+        "final6_ftol8": {"final_refinement_rounds": 6, "ba_ftol": 1e-8},
+        "huber2": {"ba_huber_delta": 2.0},
+        "huber45": {"ba_huber_delta": 4.5},
+        "maxerr3": {"max_projection_error": 3.0},
     }
     if len(sys.argv) > 1:
         keep = sys.argv[1].split(",")
