@@ -235,16 +235,30 @@ class IncrementalReconstructor:
                 self.match_features(state)
         self._presize_caps(state)
         if not state.registered:
-            with self.timer.event("initial pair and pose estimation"):
-                i1, i2, rel_pose = self.choose_initial_pair(state)
-            state.poses[i1] = np.eye(4, dtype=np.float32)
-            state.poses[i2] = rel_pose
-            state.registered = [i1, i2]
-            self._log(f"initial pair: {i1}, {i2}")
+            # RANSAC's pose recovery is randomized; a rare unlucky key
+            # stream can return a pose that passes the epipolar fit but
+            # fails cheirality en masse (observed: 1436/1440 essential
+            # inliers yet 0 triangulable landmarks). Detect the failed
+            # initialization by its triangulation yield and redraw —
+            # the key stream advances on every attempt.
+            for attempt in range(3):
+                with self.timer.event("initial pair and pose estimation"):
+                    i1, i2, rel_pose = self.choose_initial_pair(state)
+                state.poses[i1] = np.eye(4, dtype=np.float32)
+                state.poses[i2] = rel_pose
+                state.registered = [i1, i2]
+                self._log(f"initial pair: {i1}, {i2}")
 
-            with self.timer.event("initial pair features triangulation"):
-                self.triangulate_initial_pair(state, i1, i2)
-            self._log(f"landmarks initial size: {state.num_landmarks}")
+                with self.timer.event("initial pair features triangulation"):
+                    self.triangulate_initial_pair(state, i1, i2)
+                self._log(f"landmarks initial size: {state.num_landmarks}")
+                if state.num_landmarks >= self.config.min_2d3d_match_num:
+                    break
+                self._log("initial triangulation starved — redrawing "
+                          "the initial pose")
+                state.poses = {}
+                state.registered = []
+                state.reset_landmarks()
             self._autosave(state, checkpoint_path)
 
         if out_folder and save_intermediate and not resuming:

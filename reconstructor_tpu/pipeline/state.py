@@ -110,6 +110,13 @@ class ReconstructionState:
                              self._buf_initial), old):
             dst[:L] = src[:L]
 
+    def reset_landmarks(self) -> None:
+        """Drop every landmark and free all feature assignments (used to
+        redraw a failed initialization; buffers are kept allocated)."""
+        self._lm_count = 0
+        self.feat2lm.fill(-1)
+        self._refresh_views()
+
     # ---------------- landmarks ----------------------------------------
     @property
     def num_landmarks(self) -> int:

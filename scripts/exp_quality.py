@@ -57,6 +57,7 @@ def main():
 
     results = {}
     for name, over in variants.items():
+      try:
         cfg = base_cfg.with_(**over)
         rec = IncrementalReconstructor(cfg, verbose=False)
         st = fresh_state(state0)
@@ -78,6 +79,9 @@ def main():
                 res.get("ate_rmse_hungarian_normalized", -1.0), 4),
             "wall_s": round(wall, 1),
         }
+        print(json.dumps({name: results[name]}), flush=True)
+      except Exception as e:
+        results[name] = {"error": repr(e)}
         print(json.dumps({name: results[name]}), flush=True)
 
     print(json.dumps(results, indent=1))
