@@ -133,3 +133,43 @@ class TestNativeBABaseline:
         # ground-truth points (same convergence the JAX solver shows)
         assert r["cost_final"] < 1e-3, r["cost_final"]
         assert np.max(np.abs(r["points"] - pts_gt[:L])) < 1e-2
+
+
+class TestCompaction:
+    def test_compact_solve_matches_full_and_passes_through(self):
+        """compact=True must (a) reach the same cost as the uncompacted
+        solve, (b) scatter results back to caller shapes, (c) leave
+        landmarks/cameras with no live observation untouched."""
+        import jax.numpy as jnp
+        rng = np.random.default_rng(11)
+        prob, cams_gt, pts_gt = make_ba_problem(rng, n_cams=5, n_pts=60)
+        # interleave dead entries: mask out every 7th observation, add
+        # padding landmarks + a padding camera at the end
+        om = np.asarray(prob.obs_mask).copy()
+        om[::7] = False
+        C = prob.cam_params.shape[0] + 1
+        L = prob.points.shape[0] + 13
+        cam = np.zeros((C, 12), np.float32)
+        cam[:-1] = np.asarray(prob.cam_params)
+        cam[-1] = 123.0                       # sentinel: must pass through
+        pts = np.zeros((L, 3), np.float32)
+        pts[:-13] = np.asarray(prob.points)
+        pts[-1] = 77.0                        # sentinel: must pass through
+        free = np.zeros((C, 12), np.float32)
+        free[:-1] = np.asarray(prob.cam_free)
+        p2 = lm.BAProblem(jnp.asarray(cam), jnp.asarray(pts),
+                          prob.obs_cam, prob.obs_pt, prob.obs_uv,
+                          jnp.asarray(om), jnp.asarray(free))
+        r_full = lm.solve(p2, max_iters=20, compact=False,
+                          block_dtype="float32")
+        r_comp = lm.solve(p2, max_iters=20, compact=True,
+                          block_dtype="float32")
+        cf, cc = float(r_full.cost_final), float(r_comp.cost_final)
+        # equal up to solver noise: relative when meaningfully nonzero,
+        # else both at numerical zero
+        assert abs(cf - cc) <= max(1e-6, 0.02 * cf), (cf, cc)
+        out_pts = np.asarray(r_comp.points)
+        out_cam = np.asarray(r_comp.cam_params)
+        np.testing.assert_array_equal(out_pts[-1], pts[-1])
+        np.testing.assert_array_equal(out_cam[-1], cam[-1])
+        assert out_pts.shape == pts.shape and out_cam.shape == cam.shape
