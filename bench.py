@@ -339,7 +339,8 @@ def main():
             lcfg = _dc2.replace(cfg, detector="superpoint",
                               matcher="superglue",
                               superpoint_weights=sp_w,
-                              superglue_weights="structured")
+                              superglue_weights="structured",
+                              max_keypoints=1024)
             lrec = IncrementalReconstructor(lcfg, verbose=False)
             t0 = time.time()
             lstate = lrec.detect_features(data)

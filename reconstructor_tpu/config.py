@@ -134,7 +134,9 @@ class ReconstructorConfig:
     # completion) after the last view registers. The reference stops at
     # the last per-view BA; the tail views it registers last never get a
     # re-triangulation pass, which these rounds provide.
-    final_refinement_rounds: int = 3
+    # 6 rounds measured ~0.5 ATE points better than 3 on fountain-25
+    # (r4 exp_quality: 2.29% vs 2.86% of extent) at ~10 s extra wall
+    final_refinement_rounds: int = 6
     # Re-solve every landmark's DLT from the final poses before each
     # refinement round (COLMAP-style retriangulation; resets points that
     # were triangulated against early, less-accurate poses).

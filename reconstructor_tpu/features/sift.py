@@ -205,7 +205,7 @@ def _subpixel_offset(dog: jnp.ndarray, d_idx: jnp.ndarray, y: jnp.ndarray,
 
 def _descriptor_at(rs: jnp.ndarray, s_rel: jnp.ndarray, xy: jnp.ndarray,
                    sigma: jnp.ndarray, pitch: jnp.ndarray,
-                   patch_radius: int = 8):
+                   lim: jnp.ndarray = None, patch_radius: int = 8):
     """128-d SIFT descriptor at one keypoint of one image.
 
     Gradient orientations are binned into a 4x4 grid of 8-bin histograms
@@ -243,8 +243,12 @@ def _descriptor_at(rs: jnp.ndarray, s_rel: jnp.ndarray, xy: jnp.ndarray,
     v0 = jnp.floor(vb).astype(jnp.int32)
     fu = ub - u0
     fv = vb - v0
-    uu = jnp.clip(u0 + jnp.arange(P + 3), 0, U - 1)
-    vv = jnp.clip(v0 + jnp.arange(P + 3), 0, V - 1)
+    # clamp taps to THIS level's valid extent (levels are zero-padded to
+    # a common grid; the clamp keeps edge-replicate semantics)
+    lim_u = (U if lim is None else lim[0]) - 1
+    lim_v = (V if lim is None else lim[1]) - 1
+    uu = jnp.clip(u0 + jnp.arange(P + 3), 0, lim_u)
+    vv = jnp.clip(v0 + jnp.arange(P + 3), 0, lim_v)
     blk = rs[s_rel, uu[:, None], vv[None, :]]            # (P+3, P+3)
     patch = ((1 - fu) * (1 - fv) * blk[:-1, :-1]
              + (1 - fu) * fv * blk[:-1, 1:]
@@ -322,30 +326,46 @@ def _resample_pitch_levels(gauss: jnp.ndarray, sigma_list, lo: int, hi: int):
     samples at — via two small dense matmuls per level (tent-weight
     matrices; regular grids make bilinear interpolation MXU work instead
     of gather work). Out-of-image coordinates clamp to the edge
-    (replicate). All levels are padded to a common (U, V) so the result
-    stacks into one (hi-lo, U, V) volume for direct 3D gathers.
+    (replicate).
+
+    Each level is computed at ITS OWN (U_l, V_l) grid size — coarse
+    (large-pitch) levels need far fewer samples, and sizing them at the
+    finest level's grid made this pass ~2/3 of the whole detection wall
+    (r4 profile: 1478 ms of a 1407 ms frontend on the 25-image batch).
+    Results land in a common zero-padded (hi-lo, U, V) volume for direct
+    3D gathers; per-level valid extents are returned so descriptor taps
+    clamp to the level's own edge (replicate semantics preserved).
+
+    Returns (rs (hi-lo, U, V), pitches (hi-lo,), lims (hi-lo, 2) int32).
     """
     import numpy as np
     S, H, W = gauss.shape
     pitches = [_pitch_of(sigma_list[s]) for s in range(lo, hi)]
-    U = max(int((H - 1) / p) + 2 for p in pitches)
-    V = max(int((W - 1) / p) + 2 for p in pitches)
+    sizes = [(int((H - 1) / p) + 2, int((W - 1) / p) + 2) for p in pitches]
+    U = max(u for u, _ in sizes)
+    V = max(v for _, v in sizes)
     # tent matrices are input-independent: build them in numpy at trace
     # time (plain graph constants) — building them in-graph made XLA
-    # constant-fold 2x9 iota/abs/clip chains, multiplying compile time
+    # constant-fold iota/abs/clip chains, multiplying compile time
     hs = np.arange(H, dtype=np.float32)
     ws = np.arange(W, dtype=np.float32)
-    A = np.empty((len(pitches), U, H), np.float32)
-    B = np.empty((len(pitches), V, W), np.float32)
-    for i, p in enumerate(pitches):
-        cu = np.minimum(np.arange(U, dtype=np.float32) * p, H - 1.0)
-        cv = np.minimum(np.arange(V, dtype=np.float32) * p, W - 1.0)
-        A[i] = np.clip(1.0 - np.abs(cu[:, None] - hs[None, :]), 0, 1)
-        B[i] = np.clip(1.0 - np.abs(cv[:, None] - ws[None, :]), 0, 1)
     g = gauss[lo:hi].astype(jnp.float32)
-    rows = jnp.einsum("suh,shw->suw", jnp.asarray(A), g)
-    rs = jnp.einsum("suw,svw->suv", rows, jnp.asarray(B))
-    return rs.astype(gauss.dtype), jnp.asarray(pitches, gauss.dtype)
+    levels = []
+    for i, (p, (Ul, Vl)) in enumerate(zip(pitches, sizes)):
+        cu = np.minimum(np.arange(Ul, dtype=np.float32) * p, H - 1.0)
+        cv = np.minimum(np.arange(Vl, dtype=np.float32) * p, W - 1.0)
+        A = np.clip(1.0 - np.abs(cu[:, None] - hs[None, :]), 0, 1)
+        B = np.clip(1.0 - np.abs(cv[:, None] - ws[None, :]), 0, 1)
+        level = jax.lax.dot(
+            jax.lax.dot(jnp.asarray(A), g[i], precision="default"),
+            jnp.asarray(B).T, precision="default")
+        # pad+stack (ONE buffer write) — an .at[i,:Ul,:Vl].set chain
+        # re-materializes the whole padded volume per level
+        levels.append(jnp.pad(level, ((0, U - Ul), (0, V - Vl))))
+    rs = jnp.stack(levels, axis=0)
+    lims = jnp.asarray(np.asarray(sizes, np.int32))
+    return (rs.astype(gauss.dtype), jnp.asarray(pitches, gauss.dtype),
+            lims)
 
 
 def compute_descriptors(gauss: jnp.ndarray, xy: jnp.ndarray, scale_idx: jnp.ndarray,
@@ -359,11 +379,12 @@ def compute_descriptors(gauss: jnp.ndarray, xy: jnp.ndarray, scale_idx: jnp.ndar
     S = gauss.shape[0]
     # detection only emits interior DoG levels [1, S-3]; resample just those
     lo, hi = 1, max(2, S - 2)
-    rs, pitches = _resample_pitch_levels(gauss, sigma_list, lo, hi)
+    rs, pitches, lims = _resample_pitch_levels(gauss, sigma_list, lo, hi)
 
     def one(kp_xy, s_idx):
         s_rel = jnp.clip(s_idx - lo, 0, hi - lo - 1)
-        return _descriptor_at(rs, s_rel, kp_xy, sigmas[s_idx], pitches[s_rel])
+        return _descriptor_at(rs, s_rel, kp_xy, sigmas[s_idx], pitches[s_rel],
+                              lims[s_rel])
     return jax.vmap(one)(xy, scale_idx)
 
 

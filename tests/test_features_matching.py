@@ -59,12 +59,14 @@ class TestSift:
         rng = np.random.default_rng(5)
         gauss = jnp.asarray(rng.standard_normal((4, 40, 56)).astype(np.float32))
         sigma_list = [0.8 * 2 ** (i / 3.0) for i in range(4)]
-        rs, pitches = sift._resample_pitch_levels(gauss, sigma_list, 1, 3)
-        rs, pitches = np.asarray(rs), np.asarray(pitches)
+        rs, pitches, lims = sift._resample_pitch_levels(gauss, sigma_list, 1, 3)
+        rs, pitches, lims = np.asarray(rs), np.asarray(pitches), np.asarray(lims)
         g = np.asarray(gauss)
         for rel, s in enumerate(range(1, 3)):
             p = pitches[rel]
             for u, v in [(0, 0), (3, 7), (17, 29), (31, 50)]:
+                if u >= lims[rel, 0] or v >= lims[rel, 1]:
+                    continue  # outside this level's own grid (r4 sizing)
                 yc = min(u * p, 39.0); xc = min(v * p, 55.0)
                 y0, x0 = int(min(yc, 38)), int(min(xc, 54))
                 fy, fx = yc - y0, xc - x0
