@@ -50,6 +50,8 @@ def main():
         "huber2": {"ba_huber_delta": 2.0},
         "huber45": {"ba_huber_delta": 4.5},
         "maxerr3": {"max_projection_error": 3.0},
+        "final9": {"final_refinement_rounds": 9},
+        "final6_iters150": {"ba_max_iters_large": 150},
     }
     if len(sys.argv) > 1:
         keep = sys.argv[1].split(",")
