@@ -731,6 +731,7 @@ def solve(prob: BAProblem, max_iters: int = 50, init_lambda: float = 1e-3,
     max_num_iterations / num_threads / DENSE_SCHUR).
     """
     key = (id(prob.obs_pt), id(prob.obs_cam), id(prob.obs_mask),
+           id(prob.obs_uv), id(prob.cam_free),
            bool(compact), int(bucket_steps),
            prob.cam_params.shape[0], prob.points.shape[0])
     cached = _LAYOUT_CACHE.get(key)
@@ -768,7 +769,8 @@ def solve(prob: BAProblem, max_iters: int = 50, init_lambda: float = 1e-3,
                   used_cams,
                   jnp.asarray(used_cams) if used_cams is not None else None,
                   # hold references so id()s can't be recycled
-                  prob.obs_pt, prob.obs_cam, prob.obs_mask)
+                  prob.obs_pt, prob.obs_cam, prob.obs_mask,
+                  prob.obs_uv, prob.cam_free)
         if len(_LAYOUT_CACHE) > 8:
             _LAYOUT_CACHE.clear()
         _LAYOUT_CACHE[key] = cached

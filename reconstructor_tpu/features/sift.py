@@ -356,9 +356,11 @@ def _resample_pitch_levels(gauss: jnp.ndarray, sigma_list, lo: int, hi: int):
         cv = np.minimum(np.arange(Vl, dtype=np.float32) * p, W - 1.0)
         A = np.clip(1.0 - np.abs(cu[:, None] - hs[None, :]), 0, 1)
         B = np.clip(1.0 - np.abs(cv[:, None] - ws[None, :]), 0, 1)
-        level = jax.lax.dot(
-            jax.lax.dot(jnp.asarray(A), g[i], precision="default"),
-            jnp.asarray(B).T, precision="default")
+        # pinned (package-default float32) precision: the resample must
+        # equal exact bilinear sampling (test_pitch_resample_exact), and
+        # bf16 here measurably bought nothing (r4: detect_warm_s flat)
+        level = jax.lax.dot(jax.lax.dot(jnp.asarray(A), g[i]),
+                            jnp.asarray(B).T)
         # pad+stack (ONE buffer write) — an .at[i,:Ul,:Vl].set chain
         # re-materializes the whole padded volume per level
         levels.append(jnp.pad(level, ((0, U - Ul), (0, V - Vl))))

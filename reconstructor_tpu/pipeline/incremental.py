@@ -259,6 +259,13 @@ class IncrementalReconstructor:
                 state.poses = {}
                 state.registered = []
                 state.reset_landmarks()
+            else:
+                raise RuntimeError(
+                    "initialization failed: 3 initial-pair pose redraws "
+                    "all starved triangulation (< "
+                    f"{self.config.min_2d3d_match_num} landmarks); the "
+                    "dataset's best pair may be degenerate (pure "
+                    "rotation / planar) or matching may be broken")
             self._autosave(state, checkpoint_path)
 
         if out_folder and save_intermediate and not resuming:
@@ -672,7 +679,7 @@ class IncrementalReconstructor:
         (img, feat), so the count of features participating in any match
         upper-bounds the observation table (rescue-path attachments can
         exceed it; the sticky caps then grow once)."""
-        if "ba_O" in self._caps or not state.matches:
+        if "check_L" in self._caps or not state.matches:
             return
         matched = np.zeros((state.num_images, state.max_keypoints), bool)
         for (i, j), m in state.matches.items():
@@ -681,8 +688,9 @@ class IncrementalReconstructor:
             matched[j][m[src]] = True
         obs_est = max(int(matched.sum()), 1)
         lm_est = max(obs_est // 3, 1)
-        self._caps["ba_O"] = _bucket(obs_est, lo=4096)
-        for name in ("ba_L", "check_L", "rescue_L"):
+        # BA shapes are sized per call by ba_lm's compaction buckets now;
+        # only the landmark-table programs still use sticky caps.
+        for name in ("check_L", "rescue_L"):
             self._caps[name] = _bucket(lm_est, lo=2048)
 
     # ------------------------------------------------------------------

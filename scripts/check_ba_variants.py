@@ -39,6 +39,6 @@ for name, prob in [("fountain", load("out/ba_problem_final.npz")),
     print(f"== {name}")
     run(prob, "f32 nocompact (r3)", compact=False, block_dtype="float32")
     run(prob, "f32 compact", compact=True, block_dtype="float32")
-    run(prob, "bf16 compact (new default)", compact=True,
+    run(prob, "bf16 compact (rejected: stalls 100-cam)", compact=True,
         block_dtype="bfloat16")
     run(prob, "bf16 nocompact", compact=False, block_dtype="bfloat16")
