@@ -27,6 +27,24 @@ def timed(fn, *args, repeat=1, **kw):
     return out, (time.time() - t0) / repeat
 
 
+def timed_median(fn, reps=5, setup=None):
+    """Median-of-``reps`` wall time with relative spread (std/median).
+
+    VERDICT r4 #1: best-of-3 let 10% regressions land silently under
+    the remote tunnel's multi-second dispatch jitter; the headline now
+    carries its own error bar in the bench JSON.
+    """
+    ts = []
+    for _ in range(reps):
+        if setup is not None:
+            setup()
+        t0 = time.time()
+        fn()
+        ts.append(time.time() - t0)
+    med = float(np.median(ts))
+    return med, float(np.std(ts) / max(med, 1e-12)), float(np.min(ts))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -71,7 +89,7 @@ def main():
     from reconstructor_tpu.matching import pallas_knn
     pair_np = pairing.exhaustive_pairs(len(imgs))
     n_pairs = int(pair_np.shape[0])
-    B = cfg.match_chunk_pairs
+    B = cfg.match_chunk_pairs_fused
     # trim the keypoint axis to real occupancy (top_k slots are score-
     # sorted, valid ones a prefix) — same trim the pipeline path applies
     kt = int(np.asarray(feats.mask.sum(1)).max())
@@ -100,21 +118,22 @@ def main():
         return outs
 
     _ = run_knn()
-    _, t_knn = timed(run_knn)
+    t_knn, knn_spread, _ = timed_median(run_knn)
     stats["knn_warm_s"] = round(t_knn, 3)
     stats["knn_pairs_per_s"] = round(n_pairs / t_knn, 1)
+    stats["knn_spread"] = round(knn_spread, 3)
 
     # ---- full matching incl. epipolar gate (warm, 25 imgs) -------------
     state = rec.detect_features(data)
     rec.match_features(state)          # cold: compiles the filter chunks
-    t_match = float("inf")
-    for _ in range(3):                 # best-of-3: the remote tunnel adds
-        state.matches = {}             # multi-second jitter per dispatch
-        t0 = time.time()
-        rec.match_features(state)
-        t_match = min(t_match, time.time() - t0)
+
+    def clear_matches():
+        state.matches = {}
+    t_match, match_spread, _ = timed_median(
+        lambda: rec.match_features(state), setup=clear_matches)
     stats["match_warm_s"] = round(t_match, 2)
     stats["match_pairs_per_s"] = round(n_pairs / t_match, 1)
+    stats["match_spread"] = round(match_spread, 3)
 
     # ---- HEADLINE: the reference's own benchmark workload ---------------
     # 100 images / 4950 pairs (README.md:50-53 timed exactly this shape).
@@ -139,15 +158,16 @@ def main():
         lm_obs_mask=None, lm_initial=None)
     n_pairs_100 = state100.num_images * (state100.num_images - 1) // 2
     rec.match_features(state100)       # cold: one new kNN-gather program
-    t100 = float("inf")
-    for _ in range(3):
+
+    def clear100():
         state100.matches = {}
-        t0 = time.time()
-        rec.match_features(state100)
-        t100 = min(t100, time.time() - t0)
+    t100, spread100, t100_min = timed_median(
+        lambda: rec.match_features(state100), setup=clear100)
     stats["match100_warm_s"] = round(t100, 2)
     pairs_per_s = n_pairs_100 / t100
     stats["match100_pairs_per_s"] = round(pairs_per_s, 1)
+    stats["match100_spread"] = round(spread100, 3)
+    stats["match100_pairs_per_s_best"] = round(n_pairs_100 / t100_min, 1)
     del state100
 
     # Print the headline as soon as it exists — the remaining quality

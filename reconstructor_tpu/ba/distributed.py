@@ -212,16 +212,15 @@ def shard_problem(mesh: Mesh, prob: ba_lm.BAProblem) -> ba_lm.BAProblem:
     """Place the observation axis of a BAProblem across the mesh, camera
     and point state replicated. Observation count must be a multiple of
     the mesh size (pad with masked-out slots)."""
-    obs = NamedSharding(mesh, P(AXIS))
-    rep = NamedSharding(mesh, P())
+    from reconstructor_tpu.parallel.sharding import put_global
     return ba_lm.BAProblem(
-        cam_params=jax.device_put(prob.cam_params, rep),
-        points=jax.device_put(prob.points, rep),
-        obs_cam=jax.device_put(prob.obs_cam, obs),
-        obs_pt=jax.device_put(prob.obs_pt, obs),
-        obs_uv=jax.device_put(prob.obs_uv, obs),
-        obs_mask=jax.device_put(prob.obs_mask, obs),
-        cam_free=jax.device_put(prob.cam_free, rep),
+        cam_params=put_global(mesh, prob.cam_params, P()),
+        points=put_global(mesh, prob.points, P()),
+        obs_cam=put_global(mesh, prob.obs_cam, P(AXIS)),
+        obs_pt=put_global(mesh, prob.obs_pt, P(AXIS)),
+        obs_uv=put_global(mesh, prob.obs_uv, P(AXIS)),
+        obs_mask=put_global(mesh, prob.obs_mask, P(AXIS)),
+        cam_free=put_global(mesh, prob.cam_free, P()),
     )
 
 

@@ -79,6 +79,13 @@ class ReconstructorConfig:
     fundamental_num_hypotheses: int = 512
     filter_chunk_pairs: int = 64         # pairs per jitted F-gate chunk
     match_chunk_pairs: int = 256         # pairs per matching+gate chunk (HBM bound)
+    # Chunk size for the FUSED (Pallas) match+gate path. The fused kernel
+    # keeps the (K, K) distance tile in VMEM, so HBM does not bound the
+    # chunk; fewer dispatches through the remote relay measurably beat
+    # 256 (r5 decomposition: 2177 pairs/s @ 512 vs 1787 @ 256, and the
+    # run-to-run spread drops 13% -> 3.5%). The XLA fallback path keeps
+    # match_chunk_pairs (it materializes (B, K, K) in HBM).
+    match_chunk_pairs_fused: int = 512
     knn_use_pallas: bool = True          # fused VMEM top-2 kernel on TPU
     # Matmul input dtype for descriptor distances ("float32" | "bfloat16").
     # bf16 runs the MXU at native rate with f32 accumulation; rounding is

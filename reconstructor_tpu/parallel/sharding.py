@@ -60,13 +60,31 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
     return make_mesh()
 
 
+def put_global(mesh: Mesh, arr, spec: P) -> jnp.ndarray:
+    """Place a host array onto the (possibly multi-process) mesh.
+
+    Single-process: plain ``jax.device_put``. Multi-process (after
+    ``jax.distributed.initialize``): every process passes the SAME
+    global-shaped host array and
+    ``jax.make_array_from_process_local_data`` slices out each process's
+    addressable shards — ``device_put`` cannot target non-addressable
+    devices, which is why the single-process code path alone can never
+    exercise BASELINE config 5's multi-host leg.
+    """
+    sh = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(arr, sh)
+    a = np.asarray(arr)
+    return jax.make_array_from_process_local_data(sh, a, a.shape)
+
+
 def shard_batch(mesh: Mesh, arr: jnp.ndarray) -> jnp.ndarray:
     """Place ``arr`` sharded along its leading axis over the mesh."""
-    return jax.device_put(arr, NamedSharding(mesh, P(AXIS)))
+    return put_global(mesh, arr, P(AXIS))
 
 
 def replicate(mesh: Mesh, arr: jnp.ndarray) -> jnp.ndarray:
-    return jax.device_put(arr, NamedSharding(mesh, P()))
+    return put_global(mesh, arr, P())
 
 
 def pad_to_multiple(arr: np.ndarray, multiple: int, axis: int = 0,

@@ -506,7 +506,8 @@ class IncrementalReconstructor:
                              if platform not in ("cpu",) else "float32")
             match_fn = (pallas_knn.match_all_pairs_fused if use_fused
                         else knn.match_all_pairs)
-            B = cfg.match_chunk_pairs
+            B = (cfg.match_chunk_pairs_fused if use_fused
+                 else cfg.match_chunk_pairs)
             if self.mesh is not None:
                 n_dev = int(self.mesh.devices.size)
                 B = _round_up(B, n_dev)
