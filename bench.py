@@ -209,8 +209,15 @@ def main():
         # ---- warm BA timing on the final problem -----------------------
         prob = getattr(rec, "_last_ba_problem", None)
         if prob is not None:
+            # Both solvers get init_lambda = 1e-4 here — the equivalent
+            # of Ceres's default initial_trust_region_radius 1e4 — which
+            # suits this warm-started re-solve (both start from the
+            # pipeline's near-final state). Symmetric: the native
+            # baseline below receives the same lambda_init.
+            BA_LAM = 1e-4
+
             def run_ba():
-                r = ba_lm.solve(prob, max_iters=50)
+                r = ba_lm.solve(prob, max_iters=50, init_lambda=BA_LAM)
                 np.asarray(r.cost_final)
                 return r
             r, t_ba_warm = timed(run_ba)
@@ -218,6 +225,61 @@ def main():
             stats["ba_warm_s"] = round(t_ba_warm, 3)
             stats["ba_iters"] = iters
             stats["ba_s_per_iter"] = round(t_ba_warm / iters, 4)
+
+            # Latency attribution (VERDICT r4 #2): the LM loop is ONE
+            # device program, so wall = fixed dispatch/transfer overhead
+            # + device time. Two iteration budgets give the slope
+            # (device s/iter) and intercept; the tunnel RTT bounds any
+            # single-dispatch wall from below. ftol=0 disables early
+            # exit so the budgets actually run.
+            try:
+                tiny = jax.jit(lambda x: x * 2.0 + 1.0)
+                xs = jnp.asarray(3.0)
+                np.asarray(tiny(xs))
+                rtts = []
+                for _ in range(5):
+                    t0 = time.time(); np.asarray(tiny(xs))
+                    rtts.append(time.time() - t0)
+                stats["tunnel_rtt_ms"] = round(
+                    float(np.median(rtts)) * 1e3, 1)
+                walls = {}
+                for budget in (8, 64):
+                    def run_budget():
+                        rr = ba_lm.solve(prob, max_iters=budget, ftol=0.0,
+                                         init_lambda=BA_LAM)
+                        np.asarray(rr.cost_final)
+                        return rr
+                    rb = run_budget()
+                    ts = [0.0] * 3
+                    for k in range(3):
+                        t0 = time.time(); rb = run_budget()
+                        ts[k] = time.time() - t0
+                    walls[budget] = (float(np.median(ts)),
+                                     max(int(rb.iterations), 1))
+                (w8, i8), (w64, i64) = walls[8], walls[64]
+                dev_s_per_iter = max((w64 - w8) / max(i64 - i8, 1), 1e-6)
+                stats["ba_device_s_per_iter"] = round(dev_s_per_iter, 5)
+                stats["ba_fixed_overhead_s"] = round(
+                    max(w8 - i8 * dev_s_per_iter, 0.0), 4)
+                # steady-state wall: R solves in flight (the fused
+                # compact solve has no host syncs, so dispatches overlap;
+                # a production pipeline runs ~100 BA solves per dataset)
+                R = 8
+                def run_pipelined():
+                    rs = [ba_lm.solve(prob, max_iters=16, ftol=0.0,
+                                      init_lambda=BA_LAM)
+                          for _ in range(R)]
+                    for rr in rs:
+                        np.asarray(rr.cost_final)
+                run_pipelined()
+                ts = [0.0] * 3
+                for k in range(3):
+                    t0 = time.time(); run_pipelined()
+                    ts[k] = time.time() - t0
+                stats["ba_pipelined_s_per_iter"] = round(
+                    float(np.median(ts)) / R / 16, 5)
+            except Exception as e:
+                stats["ba_latency_error"] = repr(e)
 
             # Export the exact problem so the native/scipy baselines are
             # reproducible offline (VERDICT r2 #8).
@@ -258,7 +320,7 @@ def main():
                 nat = ba_native.solve_native_ba(
                     cams_live, pts_live, oc, op, ouv,
                     np.asarray(prob.cam_free)[:C_live],
-                    max_iters=30, num_threads=4)
+                    max_iters=30, num_threads=4, lambda_init=BA_LAM)
                 stats["ba_native_s_per_iter"] = round(nat["s_per_iter"], 4)
                 stats["ba_native_iters"] = nat["iters"]
                 stats["ba_tpu_vs_native_speedup"] = round(
@@ -279,6 +341,21 @@ def main():
                     stats["ba_time_to_cost_native_s"] = round(nat_s, 4)
                     stats["ba_time_to_cost_speedup"] = round(
                         nat_s / max(tpu_s, 1e-9), 2)
+                    # device-only + steady-state variants: the single-
+                    # shot wall above is tunnel-capped (the RTT alone
+                    # exceeds the device time to target at this problem
+                    # size — see tunnel_rtt_ms / ba_device_s_per_iter)
+                    if "ba_device_s_per_iter" in stats:
+                        stats["ba_device_time_to_cost_speedup"] = round(
+                            nat_s / max(ti * stats["ba_device_s_per_iter"],
+                                        1e-9), 2)
+                if "ba_device_s_per_iter" in stats:
+                    stats["ba_device_vs_native_speedup"] = round(
+                        nat["s_per_iter"] / stats["ba_device_s_per_iter"], 2)
+                if "ba_pipelined_s_per_iter" in stats:
+                    stats["ba_pipelined_vs_native_speedup"] = round(
+                        nat["s_per_iter"] / stats["ba_pipelined_s_per_iter"],
+                        2)
             except Exception as e:
                 stats["ba_native_error"] = repr(e)
             try:

@@ -762,47 +762,79 @@ def solve(prob: BAProblem, max_iters: int = 50, init_lambda: float = 1e-3,
         CL = w_idx.size
         if p_idx.size >= 0.7 * CL:
             p_idx = p_mask = None
+        if used is not None:
+            # Padded gather/scatter index maps for the fully-fused compact
+            # solve: dead compact slots carry an OUT-OF-BOUNDS sentinel so
+            # the in-jit scatter drops them (mode="drop") and the gather
+            # fills zeros. Padding to the bucketed compact shapes keeps
+            # the jitted program's shapes bucket-stable (an exact
+            # used.size axis would recompile every solve).
+            import numpy as np
+            up = np.full(cprob.points.shape[0], prob.points.shape[0],
+                         np.int32)
+            up[: used.size] = used
+            ucp = np.full(cprob.cam_params.shape[0],
+                          prob.cam_params.shape[0], np.int32)
+            ucp[: used_cams.size] = used_cams
+            used_pad = jnp.asarray(up)
+            used_cams_pad = jnp.asarray(ucp)
+        else:
+            used_pad = used_cams_pad = None
         cached = (jnp.asarray(w_idx), cprob, used,
                   None if p_idx is None else jnp.asarray(p_idx),
                   None if p_mask is None else jnp.asarray(p_mask),
-                  jnp.asarray(used) if used is not None else None,
-                  used_cams,
-                  jnp.asarray(used_cams) if used_cams is not None else None,
+                  used_pad, used_cams_pad,
                   # hold references so id()s can't be recycled
                   prob.obs_pt, prob.obs_cam, prob.obs_mask,
                   prob.obs_uv, prob.cam_free)
         if len(_LAYOUT_CACHE) > 8:
             _LAYOUT_CACHE.clear()
         _LAYOUT_CACHE[key] = cached
-    (w_idx, cprob, used, p_idx, p_mask, used_dev,
-     used_cams, used_cams_dev) = cached[:8]
-    if compact:
-        # points/cameras are re-sliced from the CALLER's arrays each call:
-        # only the observation structure (and hence the layout) is cached.
-        L_c = cprob.points.shape[0]
-        C_c = cprob.cam_params.shape[0]
-        pts_c = jnp.zeros((L_c, 3), prob.points.dtype)
-        pts_c = pts_c.at[:used.size].set(prob.points[used_dev])
-        cams_c = jnp.zeros((C_c, 12), prob.cam_params.dtype)
-        cams_c = cams_c.at[:used_cams.size].set(
-            prob.cam_params[used_cams_dev])
-        sprob = cprob._replace(cam_params=cams_c, points=pts_c)
-    else:
-        sprob = prob
+    (w_idx, cprob, used, p_idx, p_mask, used_pad, used_cams_pad) = cached[:7]
+    if used is None:
+        return _solve_landmark_major(
+            prob, w_idx,
+            max_iters, init_lambda, lambda_up, lambda_down, ftol,
+            focal_upper_bound, max_retries, huber_delta, damping, schedule,
+            block_dtype, p_idx, p_mask, schur_precision)
+    # Fused compact solve: gather -> LM -> scatter is ONE device program
+    # with zero host synchronization, so the caller can keep several
+    # solves in flight (the r5 latency profile measured 108 ms of fixed
+    # per-solve overhead, ~4x the tunnel RTT, from the host-side result
+    # scatter + per-call slicing dispatches this replaces).
+    return _solve_compact(
+        prob.cam_params, prob.points, cprob, w_idx, used_pad, used_cams_pad,
+        max_iters, init_lambda, lambda_up, lambda_down, ftol,
+        focal_upper_bound, max_retries, huber_delta, damping, schedule,
+        block_dtype, p_idx, p_mask, schur_precision)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters", "max_retries",
+                                             "huber_delta", "damping",
+                                             "schedule", "block_dtype",
+                                             "schur_precision"))
+def _solve_compact(cam_pad, pts_pad, cprob: BAProblem, w_idx,
+                   used_pad, used_cams_pad,
+                   max_iters, init_lambda, lambda_up, lambda_down, ftol,
+                   focal_upper_bound, max_retries: int, huber_delta: float,
+                   damping: str, schedule: str, block_dtype: str,
+                   p_idx, p_mask, schur_precision: str) -> BAResult:
+    """Compact-solve wrapper fused into one program: gather the live
+    points/cameras out of the caller's padded arrays, run the LM core on
+    the compact problem, scatter results back to the caller's shapes.
+    Dead compact slots hold out-of-bounds sentinel indices: the gather
+    fills zeros, the scatter drops them."""
+    pts_c = pts_pad.at[used_pad].get(mode="fill", fill_value=0.0)
+    cams_c = cam_pad.at[used_cams_pad].get(mode="fill", fill_value=0.0)
+    sprob = cprob._replace(cam_params=cams_c, points=pts_c)
     result = _solve_landmark_major(
         sprob, w_idx,
         max_iters, init_lambda, lambda_up, lambda_down, ftol,
         focal_upper_bound, max_retries, huber_delta, damping, schedule,
         block_dtype, p_idx, p_mask, schur_precision)
-    if used is None:
-        return result
-    import numpy as np
-    pts = np.asarray(prob.points).copy()
-    pts[used] = np.asarray(result.points)[:used.size]
-    cams = np.asarray(prob.cam_params).copy()
-    cams[used_cams] = np.asarray(result.cam_params)[:used_cams.size]
-    return result._replace(points=jnp.asarray(pts),
-                           cam_params=jnp.asarray(cams))
+    pts_out = pts_pad.at[used_pad].set(result.points, mode="drop")
+    cams_out = cam_pad.at[used_cams_pad].set(result.cam_params, mode="drop")
+    return result._replace(points=pts_out, cam_params=cams_out)
 
 
 # Re-solves of an unchanged observation structure (retry rounds, warm
