@@ -67,13 +67,22 @@ def main():
     gray, shapes, rgb = io_images.pad_batch(imgs)
     gray_j, shapes_j = jnp.asarray(gray), jnp.asarray(shapes)
 
+    from reconstructor_tpu.utils import aot
+
     def run_detect():
-        f = sift.detect_and_describe(gray_j, shapes_j,
-                                     max_keypoints=cfg.max_keypoints,
-                                     num_scales=cfg.sift_num_scales,
-                                     contrast_thresh=cfg.sift_contrast_thresh,
-                                     edge_thresh=cfg.sift_edge_thresh,
-                                     sigma0=cfg.sift_sigma0)
+        # the PRODUCTION detection entry (pipeline detect_features routes
+        # through the same aot.call key): detect_cold_s therefore
+        # measures what a fresh process actually pays — an AOT-cache
+        # load when the cache holds this program, a compile otherwise.
+        # r4's 73.8 s detect_cold_s was this bench calling the jitted
+        # function directly, bypassing the cache it claimed to measure.
+        f = aot.call("sift_detect", sift.detect_and_describe,
+                     gray_j, shapes_j,
+                     max_keypoints=cfg.max_keypoints,
+                     num_scales=cfg.sift_num_scales,
+                     contrast_thresh=cfg.sift_contrast_thresh,
+                     edge_thresh=cfg.sift_edge_thresh,
+                     sigma0=cfg.sift_sigma0)
         # host transfer forces real completion (block_until_ready is not
         # reliable through the axon relay)
         np.asarray(f.desc[0, :4]); np.asarray(f.xy[-1, :4])
@@ -84,6 +93,17 @@ def main():
     stats["detect_cold_s"] = round(t_detect_cold, 2)
     stats["detect_warm_s"] = round(t_detect, 3)
     stats["detect_imgs_per_s"] = round(len(imgs) / t_detect, 1)
+    # Cross-process cold start with a populated cache (VERDICT r4 #8):
+    # clearing the in-memory executable table forces the full fresh-
+    # process path — local lowering + on-disk executable deserialize +
+    # dispatch — without paying the environment's per-process TPU-tunnel
+    # claim (~2 min, which would swamp and falsify the measurement).
+    try:
+        aot._mem.clear()
+        t0 = time.time(); run_detect()
+        stats["detect_cold_cached_s"] = round(time.time() - t0, 2)
+    except Exception as e:
+        stats["detect_cold_cached_error"] = repr(e)
 
     # ---- raw kNN matching (warm, chunked like the pipeline) ------------
     from reconstructor_tpu.matching import pallas_knn

@@ -241,6 +241,7 @@ class IncrementalReconstructor:
             # inliers yet 0 triangulable landmarks). Detect the failed
             # initialization by its triangulation yield and redraw —
             # the key stream advances on every attempt.
+            best = None       # (count, i1, i2, rel_pose) over failed draws
             for attempt in range(3):
                 with self.timer.event("initial pair and pose estimation"):
                     i1, i2, rel_pose = self.choose_initial_pair(state)
@@ -251,21 +252,46 @@ class IncrementalReconstructor:
 
                 with self.timer.event("initial pair features triangulation"):
                     self.triangulate_initial_pair(state, i1, i2)
-                self._log(f"landmarks initial size: {state.num_landmarks}")
-                if state.num_landmarks >= self.config.min_2d3d_match_num:
+                n_pair_matches = int(
+                    (state.matches[(i1, i2)] >= 0).sum())
+                self._log(f"landmarks initial size: {state.num_landmarks} "
+                          f"(of {n_pair_matches} matches)")
+                # Absolute floor AND a relative yield gate: a cheirality-
+                # degenerate pose can still triangulate a few dozen
+                # points by luck (observed r5: 52 of ~200 matches, all
+                # dropped by later validity sweeps -> empty map). A
+                # correct pose on the best-matched pair converts well
+                # over half its matches; a much lower yield usually means
+                # the pose is wrong — redraw, but keep the best draw: a
+                # genuinely low-parallax pair (legitimate small-baseline
+                # capture) never clears the ratio, and the best-yield
+                # pose is then the right initialization, not an error.
+                if (state.num_landmarks >= self.config.min_2d3d_match_num
+                        and state.num_landmarks * 4 >= n_pair_matches):
                     break
+                if best is None or state.num_landmarks > best[0]:
+                    best = (state.num_landmarks, i1, i2, rel_pose)
                 self._log("initial triangulation starved — redrawing "
                           "the initial pose")
                 state.poses = {}
                 state.registered = []
                 state.reset_landmarks()
             else:
-                raise RuntimeError(
-                    "initialization failed: 3 initial-pair pose redraws "
-                    "all starved triangulation (< "
-                    f"{self.config.min_2d3d_match_num} landmarks); the "
-                    "dataset's best pair may be degenerate (pure "
-                    "rotation / planar) or matching may be broken")
+                count, i1, i2, rel_pose = best
+                if count < self.config.min_2d3d_match_num:
+                    raise RuntimeError(
+                        "initialization failed: 3 initial-pair pose "
+                        f"redraws all starved triangulation (best draw "
+                        f"{count} < {self.config.min_2d3d_match_num} "
+                        "landmarks); the dataset's best pair may be "
+                        "degenerate (pure rotation) or matching may be "
+                        "broken")
+                self._log(f"no draw cleared the yield ratio — keeping the "
+                          f"best ({count} landmarks)")
+                state.poses[i1] = np.eye(4, dtype=np.float32)
+                state.poses[i2] = rel_pose
+                state.registered = [i1, i2]
+                self.triangulate_initial_pair(state, i1, i2)
             self._autosave(state, checkpoint_path)
 
         if out_folder and save_intermediate and not resuming:
