@@ -441,6 +441,35 @@ def main():
                 stats[k] = round(v, 5) if isinstance(v, float) else v
         except Exception as e:
             stats["ate_floor_error"] = repr(e)
+
+        # ---- ATE as a measurement: 3 RANSAC seeds (VERDICT r4 #3) ------
+        # Single-seed ATE was a lottery (any pipeline change shifts the
+        # key-stream consumption and moves the number by a few tenths of
+        # a point). Seeds 1 and 2 rerun the warm pipeline; together with
+        # the seed-0 run above the bench reports mean/min/max.
+        try:
+            import dataclasses as _dcs
+            ates = [res["ate_rmse_normalized"]]
+            regs = [len(state.registered)]
+            for seed in (1, 2):
+                rec_s = IncrementalReconstructor(
+                    _dcs.replace(cfg, rng_seed=seed), verbose=False)
+                rec_s._caps = dict(rec._caps)
+                st = rec_s.detect_features(data)
+                st = rec_s.reconstruct_from_state(st)
+                cs = np.stack([-st.poses[i][:3, :3].T @ st.poses[i][:3, 3]
+                               for i in st.registered])
+                r_s = ate.ate_vs_golden(
+                    cs, "/root/reference/cloud_fountain.ply")
+                ates.append(r_s["ate_rmse_normalized"])
+                regs.append(len(st.registered))
+                del st, rec_s
+            stats["ate_normalized_mean"] = round(float(np.mean(ates)), 4)
+            stats["ate_normalized_min"] = round(float(np.min(ates)), 4)
+            stats["ate_normalized_max"] = round(float(np.max(ates)), 4)
+            stats["ate_seeds_registered"] = regs
+        except Exception as e:
+            stats["ate_seeds_error"] = repr(e)
     except Exception as e:  # never lose the headline metric
         stats["incremental_error"] = repr(e)
 

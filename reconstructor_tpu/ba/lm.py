@@ -791,19 +791,46 @@ def solve(prob: BAProblem, max_iters: int = 50, init_lambda: float = 1e-3,
             _LAYOUT_CACHE.clear()
         _LAYOUT_CACHE[key] = cached
     (w_idx, cprob, used, p_idx, p_mask, used_pad, used_cams_pad) = cached[:7]
+    # Both entry programs route through the cross-process AOT executable
+    # cache: the incremental pipeline solves at log-many bucket shapes,
+    # and each new shape is otherwise a fresh tens-of-seconds remote
+    # compile — the r4 100-view stress paid ~8 s/view in local BA, most
+    # of it exactly these compiles (SCALING.md r4 section).
+    from reconstructor_tpu.utils import aot
+    statics = dict(max_iters=max_iters, max_retries=max_retries,
+                   huber_delta=huber_delta, damping=damping,
+                   schedule=schedule, block_dtype=block_dtype,
+                   schur_precision=schur_precision)
     if used is None:
-        return _solve_landmark_major(
-            prob, w_idx,
-            max_iters, init_lambda, lambda_up, lambda_down, ftol,
-            focal_upper_bound, max_retries, huber_delta, damping, schedule,
-            block_dtype, p_idx, p_mask, schur_precision)
+        return aot.call(
+            "ba_core", _solve_core_kw,
+            prob, w_idx, init_lambda, lambda_up, lambda_down, ftol,
+            focal_upper_bound, p_idx, p_mask, **statics)
     # Fused compact solve: gather -> LM -> scatter is ONE device program
     # with zero host synchronization, so the caller can keep several
     # solves in flight (the r5 latency profile measured 108 ms of fixed
     # per-solve overhead, ~4x the tunnel RTT, from the host-side result
     # scatter + per-call slicing dispatches this replaces).
-    return _solve_compact(
+    return aot.call(
+        "ba_compact", _solve_compact,
         prob.cam_params, prob.points, cprob, w_idx, used_pad, used_cams_pad,
+        init_lambda, lambda_up, lambda_down, ftol, focal_upper_bound,
+        p_idx, p_mask, **statics)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters", "max_retries",
+                                             "huber_delta", "damping",
+                                             "schedule", "block_dtype",
+                                             "schur_precision"))
+def _solve_core_kw(prob: BAProblem, w_idx, init_lambda, lambda_up,
+                   lambda_down, ftol, focal_upper_bound, p_idx, p_mask, *,
+                   max_iters: int, max_retries: int, huber_delta: float,
+                   damping: str, schedule: str, block_dtype: str,
+                   schur_precision: str) -> BAResult:
+    """_solve_landmark_major with statics keyword-only (the AOT cache
+    passes dynamics positionally and statics as kwargs)."""
+    return _solve_landmark_major(
+        prob, w_idx,
         max_iters, init_lambda, lambda_up, lambda_down, ftol,
         focal_upper_bound, max_retries, huber_delta, damping, schedule,
         block_dtype, p_idx, p_mask, schur_precision)
@@ -815,10 +842,11 @@ def solve(prob: BAProblem, max_iters: int = 50, init_lambda: float = 1e-3,
                                              "schur_precision"))
 def _solve_compact(cam_pad, pts_pad, cprob: BAProblem, w_idx,
                    used_pad, used_cams_pad,
-                   max_iters, init_lambda, lambda_up, lambda_down, ftol,
-                   focal_upper_bound, max_retries: int, huber_delta: float,
+                   init_lambda, lambda_up, lambda_down, ftol,
+                   focal_upper_bound, p_idx, p_mask, *,
+                   max_iters: int, max_retries: int, huber_delta: float,
                    damping: str, schedule: str, block_dtype: str,
-                   p_idx, p_mask, schur_precision: str) -> BAResult:
+                   schur_precision: str) -> BAResult:
     """Compact-solve wrapper fused into one program: gather the live
     points/cameras out of the caller's padded arrays, run the LM core on
     the compact problem, scatter results back to the caller's shapes.

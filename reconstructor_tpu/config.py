@@ -52,6 +52,12 @@ class ReconstructorConfig:
     superpoint_weights: Optional[str] = None
     superglue_weights: Optional[str] = None
 
+    # RANSAC key-stream seed (essential/fundamental/PnP draws). Results
+    # are deterministic per seed; quality metrics should be reported
+    # over several seeds (bench.py runs 3) because registration-order
+    # variance moves fountain ATE by a few tenths of a point.
+    rng_seed: int = 0
+
     # ---- pair selection (matchImages stage) ------------------------------
     # "exhaustive" = the reference's FakeImgMatcher (all unordered pairs);
     # "retrieval" = global-descriptor top-k pruning (the reference's FAISS

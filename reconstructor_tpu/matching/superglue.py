@@ -68,15 +68,20 @@ def _mlp_init(key, channels: List[int], dtype):
     return layers
 
 
-def init_params(key: jax.Array, dtype=jnp.float32) -> Dict[str, Any]:
-    keys = jax.random.split(key, 4 + N_LAYERS * 5)
+def init_params(key: jax.Array, dtype=jnp.float32,
+                n_layers: int = N_LAYERS) -> Dict[str, Any]:
+    """``n_layers`` < 18 builds a SMALLER GNN with the same layer
+    structure — the forward pass iterates ``params['layers']``, so depth
+    is a property of the parameter pytree, not the code (used by the
+    trained-here compact model, scripts/train_superglue.py)."""
+    keys = jax.random.split(key, 4 + n_layers * 5)
     params: Dict[str, Any] = {
         "kenc": _mlp_init(keys[0], KENC_CHANNELS, dtype),
         "final_proj": _dense_init(keys[1], D_MODEL, D_MODEL, dtype),
         "bin_score": jnp.asarray(1.0, dtype),
         "layers": [],
     }
-    for i in range(N_LAYERS):
+    for i in range(n_layers):
         k = keys[4 + i * 5: 4 + (i + 1) * 5]
         params["layers"].append({
             "q": _dense_init(k[0], D_MODEL, D_MODEL, dtype),
@@ -86,6 +91,49 @@ def init_params(key: jax.Array, dtype=jnp.float32) -> Dict[str, Any]:
             "mlp": _mlp_init(k[4], MLP_CHANNELS, dtype),
         })
     return params
+
+
+def params_to_npz(params: Dict[str, Any], path: str) -> None:
+    """Serialize a params pytree (nested dicts/lists of arrays) to npz."""
+    flat: Dict[str, np.ndarray] = {}
+
+    def walk(obj, prefix):
+        if isinstance(obj, dict):
+            for k, v in obj.items():
+                walk(v, f"{prefix}{k}.")
+        elif isinstance(obj, (list, tuple)):
+            for i, v in enumerate(obj):
+                walk(v, f"{prefix}{i}.")
+        else:
+            flat[prefix[:-1]] = np.asarray(obj)
+
+    walk(params, "")
+    np.savez_compressed(path, **flat)
+
+
+def params_from_npz(path: str) -> Dict[str, Any]:
+    """Load a params pytree saved by ``params_to_npz`` (locally-trained
+    checkpoints, e.g. tests/data/superglue_fountain.npz)."""
+    d = np.load(path)
+    root: Dict[str, Any] = {}
+    for key in d.files:
+        parts = key.split(".")
+        cur = root
+        for p in parts[:-1]:
+            cur = cur.setdefault(p, {})
+        cur[parts[-1]] = jnp.asarray(d[key])
+
+    def listify(obj):
+        if isinstance(obj, dict):
+            if obj and all(k.isdigit() for k in obj):
+                return [listify(obj[str(i)]) for i in range(len(obj))]
+            return {k: listify(v) for k, v in obj.items()}
+        return obj
+
+    out = listify(root)
+    # bin_score is a scalar
+    out["bin_score"] = jnp.asarray(out["bin_score"]).reshape(())
+    return out
 
 
 def structured_identity_params(gamma: float = 24.0, bin_score: float = 5.0,

@@ -154,7 +154,7 @@ class IncrementalReconstructor:
         self.verbose = verbose
         self.mesh = mesh
         self.timer = TimeLogger()
-        self._key = jax.random.PRNGKey(0)
+        self._key = jax.random.PRNGKey(self.config.rng_seed)
         # Sticky shape caps: on this backend every distinct padded shape
         # is a fresh remote compile costing tens of seconds
         # (ENVIRONMENT_NOTES.md #3), so each program's pad grows
@@ -401,6 +401,9 @@ class IncrementalReconstructor:
                 # identity GNN + full Sinkhorn decode on raw descriptors
                 # (no-checkpoint operating mode; see superglue.py)
                 self._sg_params = sg.structured_identity_params()
+            elif path and path.endswith(".npz"):
+                # locally-trained compact GNN (scripts/train_superglue.py)
+                self._sg_params = sg.params_from_npz(path)
             elif path:
                 import torch
                 sd = torch.load(path, map_location="cpu")

@@ -31,6 +31,10 @@ def main():
     ap.add_argument("--checkpoint", default=None,
                     help="autosave/resume path (the long run rides out "
                          "environment-side TPU worker crashes)")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="RANSAC key-stream seed (quality varies a few "
+                         "tenths of a point between seeds; report runs "
+                         "with their seed)")
     args = ap.parse_args()
 
     import jax
@@ -47,7 +51,8 @@ def main():
 
     cfg = ReconstructorConfig(max_keypoints=state.max_keypoints, focal_px=520.0,
                               ba_local_window=args.local_window,
-                              ba_global_every=args.global_every)
+                              ba_global_every=args.global_every,
+                              rng_seed=args.seed)
     rec = IncrementalReconstructor(cfg, verbose=True)
     t0 = time.time()
     if args.checkpoint:
