@@ -480,13 +480,19 @@ def main():
     try:
         import os
         sp_w = "tests/data/superpoint_fountain.npz"
+        sg_w = "tests/data/superglue_fountain.npz"
+        # prefer the trained-here compact GNN (scripts/train_superglue.py)
+        # over the structured-identity decode when a checkpoint exists
+        sg_mode = sg_w if os.path.exists(sg_w) else "structured"
         if os.path.exists(sp_w):
             import dataclasses as _dc2
             lcfg = _dc2.replace(cfg, detector="superpoint",
                               matcher="superglue",
                               superpoint_weights=sp_w,
-                              superglue_weights="structured",
+                              superglue_weights=sg_mode,
                               max_keypoints=1024)
+            stats["learned_superglue_mode"] = (
+                "trained" if sg_mode == sg_w else "structured")
             lrec = IncrementalReconstructor(lcfg, verbose=False)
             t0 = time.time()
             lstate = lrec.detect_features(data)

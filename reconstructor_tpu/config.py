@@ -154,6 +154,11 @@ class ReconstructorConfig:
     # refinement round (COLMAP-style retriangulation; resets points that
     # were triangulated against early, less-accurate poses).
     final_retriangulate: bool = True
+    # Checkpoint autosave cadence (views between full-state npz writes
+    # when reconstruct() is given a checkpoint path). A 100-view state
+    # is >100 MB compressed; per-view saves cost the stress run
+    # seconds/view. Crash replay is bounded to this many views.
+    checkpoint_every_views: int = 3
     # Local (windowed) BA: when > 0 and more than ba_global_every views
     # are registered, each new view triggers a local BA over itself plus
     # its (window-1) most covisible registered cameras, with fixed

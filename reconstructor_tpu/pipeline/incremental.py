@@ -336,7 +336,12 @@ class IncrementalReconstructor:
                 if out_folder and save_intermediate:
                     self._save(state, os.path.join(out_folder, f"clouds/cloud_after_{it}.ply"))
             self._log(f"registered img {added} | landmarks: {state.num_landmarks}")
-            self._autosave(state, checkpoint_path)
+            # Autosave cadence: a full-state npz at 100 views is >100 MB
+            # compressed — writing one per view cost the stress run
+            # seconds/view. Every Nth view bounds crash-replay to N views.
+            if (it % max(self.config.checkpoint_every_views, 1) == 0
+                    or len(state.registered) == state.num_images):
+                self._autosave(state, checkpoint_path)
 
         for r in range(self.config.final_refinement_rounds):
             with self.timer.event("final refinement"):
