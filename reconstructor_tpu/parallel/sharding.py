@@ -136,16 +136,29 @@ def _sharded_matcher(mesh: Mesh, use_pallas: bool, ratio_thresh: float,
                      cross_check: bool):
     """Cached jitted sharded matcher (a fresh ``jax.jit`` wrapper per call
     would recompile on every invocation — the jit cache is keyed on the
-    wrapped callable's identity)."""
+    wrapped callable's identity).
+
+    shard_map (not jit+GSPMD in_shardings): each device runs the
+    unpartitioned batched matcher on its local pair slice, which pins the
+    gathers from the replicated descriptor tables local to the device.
+    Under GSPMD partitioning the same program retained only 0.71 of
+    1-device throughput at 8 shards (SCALING.md r2-r4 table) while the
+    shard_map gate path held 0.92 — the partitioner's handling of
+    sharded-index gathers from replicated operands was the difference.
+    """
+    from jax import shard_map
     from reconstructor_tpu.matching import knn, pallas_knn
     match_fn = (pallas_knn.match_all_pairs_fused if use_pallas
                 else knn.match_all_pairs)
-    return jax.jit(
-        functools.partial(match_fn, ratio_thresh=ratio_thresh,
-                          cross_check=cross_check),
-        in_shardings=(NamedSharding(mesh, P()), NamedSharding(mesh, P()),
-                      NamedSharding(mesh, P(AXIS))),
-        out_shardings=NamedSharding(mesh, P(AXIS)))
+    body = functools.partial(match_fn, ratio_thresh=ratio_thresh,
+                             cross_check=cross_check)
+    fn = shard_map(
+        lambda d, m, p: body(d, m, p),
+        mesh=mesh,
+        in_specs=(P(), P(), P(AXIS)),
+        out_specs=(P(AXIS), P(AXIS)),
+        check_vma=False)
+    return jax.jit(fn)
 
 
 def match_and_gate_sharded(mesh: Mesh, desc, kmask, xy, pair_idx, keys,
