@@ -141,6 +141,8 @@ def main():
     ap.add_argument("--lr", type=float, default=2e-4)
     ap.add_argument("--sinkhorn-iters", type=int, default=50)
     ap.add_argument("--out", default="tests/data/superglue_fountain.npz")
+    ap.add_argument("--warm-start", default=None,
+                    help="resume from a params npz instead of the identity")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -191,8 +193,15 @@ def main():
     def loss_fn(p, idx):
         return jnp.mean(jax.vmap(lambda i: pair_nll(p, trn, i))(idx))
 
-    params = small_identity_params(args.layers)
-    opt = optax.adam(args.lr)
+    if args.warm_start and os.path.exists(args.warm_start):
+        params = sg.params_from_npz(args.warm_start)
+        print(f"warm-started from {args.warm_start}", flush=True)
+    else:
+        params = small_identity_params(args.layers)
+    # cosine decay to 0: the flat-LR run's loss spiked at step 1300 and
+    # F1 was still recovering toward the identity at the end — annealing
+    # lets the high-precision solution the GNN finds early regain recall
+    opt = optax.adam(optax.cosine_decay_schedule(args.lr, args.steps))
     opt_state = opt.init(params)
 
     @jax.jit

@@ -293,3 +293,44 @@ class TestLearnedPipelinePath:
         assert state.desc.shape == (2, 64, 256)
         assert state.kp_score is not None
         rec.match_features(state)  # runs the SuperGlue matcher end-to-end
+
+
+class TestCompactCheckpoint:
+    def test_npz_round_trip_compact_gnn(self, tmp_path):
+        """A locally-trained compact (4-layer) GNN survives the npz
+        round trip: params_from_npz(params_to_npz(p)) matches bit-exact
+        and match_pair produces identical decisions — the load path the
+        pipeline uses for tests/data/superglue_fountain.npz
+        (scripts/train_superglue.py)."""
+        key = jax.random.PRNGKey(7)
+        params = sg.init_params(key, n_layers=4)
+        path = str(tmp_path / "compact.npz")
+        sg.params_to_npz(params, path)
+        loaded = sg.params_from_npz(path)
+
+        flat_a = jax.tree_util.tree_leaves(params)
+        flat_b = jax.tree_util.tree_leaves(loaded)
+        assert len(flat_a) == len(flat_b)
+        for a, b in zip(flat_a, flat_b):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        rng = np.random.default_rng(9)
+        K = 16
+        desc = rng.standard_normal((2, K, 256)).astype(np.float32)
+        desc /= np.linalg.norm(desc, axis=-1, keepdims=True)
+        xy = rng.uniform(0, 90, (2, K, 2)).astype(np.float32)
+        score = rng.uniform(0.2, 1.0, (2, K)).astype(np.float32)
+        kmask = np.ones((2, K), bool)
+        shape = jnp.asarray([100, 100], jnp.int32)
+        args = lambda p: sg.match_pair(
+            p, jnp.asarray(desc[0]), jnp.asarray(desc[1]),
+            jnp.asarray(xy[0]), jnp.asarray(xy[1]),
+            jnp.asarray(score[0]), jnp.asarray(score[1]),
+            jnp.asarray(kmask[0]), jnp.asarray(kmask[1]),
+            shape, shape, sinkhorn_iters=20, score_thresh=0.0)
+        ia, oa, sa = args(params)
+        ib, ob, sb = args(loaded)
+        np.testing.assert_array_equal(np.asarray(ia), np.asarray(ib))
+        np.testing.assert_array_equal(np.asarray(oa), np.asarray(ob))
+        np.testing.assert_allclose(np.asarray(sa), np.asarray(sb),
+                                   rtol=1e-6, atol=1e-7)
