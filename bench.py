@@ -500,6 +500,9 @@ def main():
             stats["learned_s"] = round(time.time() - t0, 2)
             stats["learned_registered"] = len(lstate.registered)
             stats["learned_landmarks"] = int(lstate.num_landmarks)
+            n_views = lstate.desc.shape[0]
+            stats["learned_unregistered_views"] = sorted(
+                set(range(n_views)) - set(lstate.registered))
             lcenters = np.stack(
                 [-lstate.poses[i][:3, :3].T @ lstate.poses[i][:3, 3]
                  for i in lstate.registered])

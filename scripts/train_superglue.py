@@ -143,6 +143,8 @@ def main():
     ap.add_argument("--out", default="tests/data/superglue_fountain.npz")
     ap.add_argument("--warm-start", default=None,
                     help="resume from a params npz instead of the identity")
+    ap.add_argument("--bank", default=None,
+                    help="npz path to cache/reuse the correspondence bank")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -162,7 +164,13 @@ def main():
 
     rng = np.random.default_rng(0)
     t0 = time.time()
-    bank = build_bank(grays, sp_params, args.pairs, args.kps, rng)
+    if args.bank and os.path.exists(args.bank):
+        bank = dict(np.load(args.bank))
+        print(f"loaded bank {args.bank}", flush=True)
+    else:
+        bank = build_bank(grays, sp_params, args.pairs, args.kps, rng)
+        if args.bank:
+            np.savez_compressed(args.bank, **bank)
     n_bank = bank["d0"].shape[0]
     n_val = min(max(8, n_bank // 10), max(n_bank // 2, 1))
     val = {k: jnp.asarray(v[:n_val]) for k, v in bank.items()}
@@ -190,8 +198,12 @@ def main():
         n_bin = jnp.maximum(b["bin1"][i].sum(), 1)
         return -(row_terms.sum() / n_row + bin_ll.sum() / n_bin)
 
-    def loss_fn(p, idx):
-        return jnp.mean(jax.vmap(lambda i: pair_nll(p, trn, i))(idx))
+    def loss_fn(p, bank_dev, idx):
+        # bank_dev is a jit ARGUMENT: closing over the (pairs, K, 256)
+        # arrays embeds them as HLO constants, and at 400 pairs the
+        # serialized program exceeds the remote-compile helper's request
+        # body limit (HTTP 413)
+        return jnp.mean(jax.vmap(lambda i: pair_nll(p, bank_dev, i))(idx))
 
     if args.warm_start and os.path.exists(args.warm_start):
         params = sg.params_from_npz(args.warm_start)
@@ -205,8 +217,8 @@ def main():
     opt_state = opt.init(params)
 
     @jax.jit
-    def step(p, s, idx):
-        l, g = jax.value_and_grad(loss_fn)(p, idx)
+    def step(p, s, bank_dev, idx):
+        l, g = jax.value_and_grad(loss_fn)(p, bank_dev, idx)
         updates, s = opt.update(g, s)
         return optax.apply_updates(p, updates), s, l
 
@@ -239,7 +251,7 @@ def main():
     for it in range(args.steps):
         key, k = jax.random.split(key)
         idx = jax.random.randint(k, (args.batch,), 0, n_trn)
-        params, opt_state, l = step(params, opt_state, idx)
+        params, opt_state, l = step(params, opt_state, trn, idx)
         if (it + 1) % 100 == 0:
             f1, prec, rec = val_f1(params)
             mark = ""
