@@ -27,12 +27,17 @@ def timed(fn, *args, repeat=1, **kw):
     return out, (time.time() - t0) / repeat
 
 
-def timed_median(fn, reps=5, setup=None):
-    """Median-of-``reps`` wall time with relative spread (std/median).
+def timed_median(fn, reps=7, setup=None):
+    """Median-of-``reps`` wall time with relative spread (IQR/median).
 
     VERDICT r4 #1: best-of-3 let 10% regressions land silently under
     the remote tunnel's multi-second dispatch jitter; the headline now
-    carries its own error bar in the bench JSON.
+    carries its own error bar in the bench JSON. The spread is the
+    interquartile range over the median: the relay occasionally stalls
+    a single dispatch by seconds (ENVIRONMENT_NOTES #8), and one such
+    outlier made std/median report 19% on a run whose middle five reps
+    agreed to 4% — IQR measures the repeatability of the statistic
+    actually reported (the median), which a tail outlier does not move.
     """
     ts = []
     for _ in range(reps):
@@ -42,7 +47,8 @@ def timed_median(fn, reps=5, setup=None):
         fn()
         ts.append(time.time() - t0)
     med = float(np.median(ts))
-    return med, float(np.std(ts) / max(med, 1e-12)), float(np.min(ts))
+    q75, q25 = np.percentile(ts, [75, 25])
+    return med, float((q75 - q25) / max(med, 1e-12)), float(np.min(ts))
 
 
 def main():
